@@ -1,0 +1,89 @@
+"""Sequential filters re-expressed for TPU.
+
+* median filter (kernel 3) — closed-form elementwise min/max network,
+  replacing scipy.signal.medfilt used for F0 smoothing (magphase.py:2202,
+  2500; medfilt zero-pads at the edges).
+* IIR filtering (Butterworth/elliptic high-pass of magphase.py:990-995,
+  1415-1419) — filter design happens host-side with scipy at trace time
+  (coefficients are static), and the sequential Direct-Form-II recursion is
+  evaluated as a *parallel prefix* over affine state maps with
+  jax.lax.associative_scan: state_{t+1} = A state_t + b_t, composed in
+  O(log n) depth instead of an O(n) sample loop.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import signal as sp_signal
+
+
+def medfilt3(v: jnp.ndarray) -> jnp.ndarray:
+    """scipy.signal.medfilt(v) with default kernel_size=3 (zero padding)."""
+    a = jnp.concatenate([jnp.zeros(1, v.dtype), v[:-1]])
+    c = jnp.concatenate([v[1:], jnp.zeros(1, v.dtype)])
+    return jnp.maximum(jnp.minimum(a, v),
+                       jnp.minimum(jnp.maximum(a, v), c))
+
+
+@functools.lru_cache(maxsize=16)
+def butter_highpass_coeffs(order: int, fc_hz: float, fs: int):
+    """Butterworth high-pass (b, a) — magphase.py:990-995."""
+    b, a = sp_signal.butter(order, fc_hz / (fs / 2.0), btype="highpass")
+    return tuple(b.tolist()), tuple(a.tolist())
+
+
+@functools.lru_cache(maxsize=16)
+def ellip_highpass_coeffs(order: int, rp: float, rs: float, fc_hz: float,
+                          fs: int):
+    """Elliptic high-pass (b, a) — magphase.py:1415-1419 (0.5 dB / 80 dB)."""
+    b, a = sp_signal.ellip(order, rp, rs, fc_hz / (fs / 2.0), btype="highpass")
+    return tuple(b.tolist()), tuple(a.tolist())
+
+
+def lfilter(b, a, x: jnp.ndarray) -> jnp.ndarray:
+    """scipy.signal.lfilter(b, a, x) for 1-D x, zero initial state, as an
+    associative scan over transposed Direct-Form-II affine updates.
+
+    DF2T recurrence (n = max(len(a), len(b)) - 1):
+      y[t]   = b0*x[t] + z0[t]
+      zi[t+1]= b_{i+1}*x[t] + z_{i+1}[t] - a_{i+1}*y[t]
+    which is affine in the state z: z[t+1] = A z[t] + u[t] x[t].
+    """
+    b = np.asarray(b, dtype=np.float64)
+    a = np.asarray(a, dtype=np.float64)
+    b = b / a[0]
+    a = a / a[0]
+    n = max(len(a), len(b)) - 1
+    bp = np.zeros(n + 1)
+    ap = np.zeros(n + 1)
+    bp[:len(b)] = b
+    ap[:len(a)] = a
+
+    # state update matrix: z' = A z + u * x
+    A = np.zeros((n, n))
+    A[:, 0] = -ap[1:]
+    A[:-1, 1:] += np.eye(n - 1)
+    u = bp[1:] - ap[1:] * bp[0]
+
+    dtype = x.dtype
+    Aj = jnp.asarray(A, dtype)
+    uj = jnp.asarray(u, dtype)
+
+    T = x.shape[0]
+    As = jnp.broadcast_to(Aj, (T, n, n))
+    bs = uj[None, :] * x[:, None]
+
+    def compose(e1, e2):
+        A1, b1 = e1
+        A2, b2 = e2
+        return (jnp.einsum("...ij,...jk->...ik", A2, A1),
+                jnp.einsum("...ij,...j->...i", A2, b1) + b2)
+
+    Acum, bcum = jax.lax.associative_scan(compose, (As, bs), axis=0)
+    # z[t] (state *before* consuming x[t]) = prefix up to t-1 applied to 0
+    z = jnp.concatenate([jnp.zeros((1, n), dtype), bcum[:-1]], axis=0)
+    y = bp[0] * x + z[:, 0]
+    return y

@@ -1,0 +1,192 @@
+"""Lossless pitch-synchronous analysis / synthesis (the bit-matching path).
+
+Reference call stacks (SURVEY.md 3.1):
+  analysis:  magphase.py:2869 analysis_lossless ->
+             analysis_with_del_comp_from_pm (266-334) ->
+             compute_lossless_feats (457-476)
+  synthesis: magphase.py:1759 synthesis_from_lossless -> ola (34-62)
+
+TPU design: the ragged per-frame loops become one gather + one batched rfft
+(analysis) and one batched irfft + one scatter-add (synthesis); all heavy ops
+jit-compiled with static shapes, host wrappers handle bucketing/padding.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MagPhaseConfig
+from ..core import framing
+from ..core.windows import HANNING
+from ..io import est as est_io
+from ..io import wav as wav_io
+from ..io.featfile import write_featfile
+from ..utils.padding import SIG_STEP, FRM_STEP, bucket, pad_to
+
+_f32 = jnp.float32
+
+
+# ---------------------------------------------------------------------------
+# jitted kernels
+
+@functools.partial(jax.jit, static_argnames=("fft_len", "fs"))
+def _analysis_kernel(sig, pm, nfrms, n_sig, voi, *, fft_len: int, fs: int):
+    """Pitch-sync windowing + delay compensation + rfft + lossless feats.
+
+    Equivalent to analysis_with_del_comp_from_pm (magphase.py:266-334) +
+    compute_lossless_feats (magphase.py:457-476).
+    Returns (mag, real, imag, f0, shift) padded to pm.shape[0] frames.
+    """
+    frames, L, R, valid = framing.pitch_sync_frames(
+        sig, pm, nfrms, n_sig, fft_len, win_family=HANNING)
+    spec = jnp.fft.rfft(frames)
+
+    m_mag = jnp.abs(spec)
+    m_div = jnp.where(m_mag == 0.0, 1.0, m_mag)
+    m_real = jnp.where(m_mag == 0.0, 0.0, spec.real / m_div)
+    m_imag = jnp.where(m_mag == 0.0, 0.0, spec.imag / m_div)
+
+    v_shift = L
+    v_f0 = jnp.where(valid & (v_shift > 0),
+                     voi * fs / jnp.maximum(v_shift, 1).astype(m_mag.dtype),
+                     0.0)
+    return m_mag, m_real, m_imag, v_f0, v_shift
+
+
+@functools.partial(jax.jit, static_argnames=("fft_len", "out_len_max"))
+def _synthesis_kernel(m_mag, m_real, m_imag, pm, nfrms, *, fft_len: int,
+                      out_len_max: int):
+    """Phasor -> irfft -> fftshift -> centred OLA
+    (magphase.py:1759-1776 + ola 34-62)."""
+    m_ph = m_real + 1j * m_imag
+    m_ph_mag = jnp.abs(m_ph)
+    m_ph_mag = jnp.where(m_ph_mag == 0.0, 1.0, m_ph_mag)
+    m_fft = m_mag * m_ph / m_ph_mag
+    # reference's add_hermitian_half('complex') zeroes imag at DC/Nyquist
+    m_fft = m_fft.at[:, 0].set(m_fft[:, 0].real + 0j)
+    m_fft = m_fft.at[:, -1].set(m_fft[:, -1].real + 0j)
+    m_frm = jnp.fft.irfft(m_fft, n=fft_len)
+    m_frm = jnp.roll(m_frm, fft_len // 2, axis=1)     # fftshift (even N)
+    return framing.ola_centered(m_frm, pm, nfrms, out_len_max)
+
+
+# ---------------------------------------------------------------------------
+# host-side API (reference-compatible signatures, numpy in/out)
+
+def analysis_with_del_comp_from_pm(v_in_sig: np.ndarray, fs: int,
+                                   v_pm_smpls: np.ndarray,
+                                   v_voi: np.ndarray,
+                                   fft_len: int | None = None):
+    """Run the analysis kernel on one utterance.
+
+    v_pm_smpls: float pitch-mark positions in samples (rounded half-to-even
+    here, as lu.round_to_int does at magphase.py:78).
+    Returns (m_mag, m_real, m_imag, v_f0, v_shift) as numpy, nfrms rows.
+    """
+    cfg = MagPhaseConfig(fs=fs) if fft_len is None else \
+        MagPhaseConfig(fs=fs, fft_len=fft_len)
+    fft_len = cfg.fft_len
+
+    pm = np.asarray(np.round(v_pm_smpls), dtype=np.int64)
+    nfrms = pm.shape[0]
+    n_sig = v_in_sig.shape[0]
+
+    F = bucket(nfrms, FRM_STEP)
+    S = bucket(n_sig, SIG_STEP)
+
+    sig_d = jnp.asarray(pad_to(np.asarray(v_in_sig, np.float32), S))
+    pm_d = jnp.asarray(pad_to(pm.astype(np.int32), F))
+    voi_d = jnp.asarray(pad_to(np.asarray(v_voi, np.float32), F))
+
+    mag, real, imag, _f0, shift = _analysis_kernel(
+        sig_d, pm_d, jnp.int32(nfrms), jnp.int32(n_sig), voi_d,
+        fft_len=fft_len, fs=fs)
+    mag, real, imag, shift = jax.device_get((mag, real, imag, shift))
+    shift = shift[:nfrms].astype(np.int64)
+    # f0 in float64 on host so the fs/f0 round trip in synthesis recovers the
+    # exact integer shifts (shift_to_f0, magphase.py:2198-2207, b_smooth=False)
+    v_f0 = np.asarray(v_voi, np.float64)[:nfrms] * fs / shift.astype(np.float64)
+    return (mag[:nfrms].astype(np.float64), real[:nfrms].astype(np.float64),
+            imag[:nfrms].astype(np.float64), v_f0, shift)
+
+
+def analysis_lossless(wav_file: str, fft_len: int | None = None,
+                      out_dir: str | None = None,
+                      est_file: str | None = None,
+                      pm_sec: np.ndarray | None = None,
+                      voi: np.ndarray | None = None):
+    """Primary lossless analysis entry (magphase.py:2869-2906).
+
+    Epochs come from (in priority order) explicit ``pm_sec``/``voi`` arrays,
+    a REAPER-format ``est_file``, or the built-in JAX epoch tracker.
+    """
+    v_sig, fs = wav_io.read_wav(wav_file)
+
+    if pm_sec is None:
+        if est_file is not None:
+            pm_sec, voi = est_io.read_reaper_est_file(
+                est_file, check_len_smpls=len(v_sig), fs=fs)
+        else:
+            from ..epochs import reaper_jax
+            pm_sec, voi = reaper_jax.extract_epochs(v_sig, fs)
+
+    v_pm_smpls = np.asarray(pm_sec) * fs
+    m_mag, m_real, m_imag, v_f0, v_shift = analysis_with_del_comp_from_pm(
+        v_sig, fs, v_pm_smpls, np.asarray(voi), fft_len=fft_len)
+
+    if isinstance(out_dir, str):
+        import os
+        file_id = os.path.basename(wav_file).split(".")[0]
+        write_featfile(m_mag, out_dir, file_id + ".mag")
+        write_featfile(m_real, out_dir, file_id + ".real")
+        write_featfile(m_imag, out_dir, file_id + ".imag")
+        write_featfile(v_f0, out_dir, file_id + ".f0")
+        write_featfile(v_shift, out_dir, file_id + ".shift")
+        return None
+
+    return m_mag, m_real, m_imag, v_f0, fs, v_shift
+
+
+def f0_to_shift(v_f0_in: np.ndarray, fs: int,
+                unv_frm_rate_ms: float = 5.0) -> np.ndarray:
+    """magphase.py:2210-2215 (host-side, float64)."""
+    v_f0 = np.asarray(v_f0_in, np.float64).copy()
+    v_f0[v_f0 == 0] = 1000.0 / unv_frm_rate_ms
+    return fs / v_f0
+
+
+def shift_to_pm(v_shift: np.ndarray) -> np.ndarray:
+    return np.cumsum(v_shift)
+
+
+def pm_to_shift(v_pm: np.ndarray) -> np.ndarray:
+    return np.diff(np.hstack((0, v_pm)))
+
+
+def synthesis_from_lossless(m_mag: np.ndarray, m_real: np.ndarray,
+                            m_imag: np.ndarray, v_f0: np.ndarray,
+                            fs: int) -> np.ndarray:
+    """Lossless resynthesis (magphase.py:1759-1776): deterministic, the
+    bit-matching target."""
+    nfrms, h = m_mag.shape
+    fft_len = 2 * (h - 1)
+
+    v_shift = f0_to_shift(v_f0, fs)
+    v_pm = np.cumsum(v_shift).astype(np.int64)   # ola() casts pm to int
+    v_shift_i = pm_to_shift(v_pm)
+    out_len = int(v_pm[-1] + v_shift_i[-1] + 1)
+
+    F = bucket(nfrms, FRM_STEP)
+    O = bucket(out_len, SIG_STEP)
+
+    mag_d = jnp.asarray(pad_to(m_mag.astype(np.float32), F))
+    real_d = jnp.asarray(pad_to(m_real.astype(np.float32), F))
+    imag_d = jnp.asarray(pad_to(m_imag.astype(np.float32), F))
+    pm_d = jnp.asarray(pad_to(v_pm.astype(np.int32), F))
+
+    buf = _synthesis_kernel(mag_d, real_d, imag_d, pm_d, jnp.int32(nfrms),
+                            fft_len=fft_len, out_len_max=O)
+    return np.asarray(jax.device_get(buf)[:out_len], dtype=np.float64)
