@@ -51,6 +51,11 @@ def lfilter(b, a, x: jnp.ndarray) -> jnp.ndarray:
       y[t]   = b0*x[t] + z0[t]
       zi[t+1]= b_{i+1}*x[t] + z_{i+1}[t] - a_{i+1}*y[t]
     which is affine in the state z: z[t+1] = A z[t] + u[t] x[t].
+
+    WARNING: for high-order filters with poles near the unit circle (e.g. a
+    4th-order 40 Hz high-pass at 48 kHz) the companion-matrix products in the
+    scan have enormous transient growth and overflow float32 — use
+    ``sosfilt`` (cascaded biquads) for those.
     """
     b = np.asarray(b, dtype=np.float64)
     a = np.asarray(a, dtype=np.float64)
@@ -86,4 +91,24 @@ def lfilter(b, a, x: jnp.ndarray) -> jnp.ndarray:
     # z[t] (state *before* consuming x[t]) = prefix up to t-1 applied to 0
     z = jnp.concatenate([jnp.zeros((1, n), dtype), bcum[:-1]], axis=0)
     y = bp[0] * x + z[:, 0]
+    return y
+
+
+@functools.lru_cache(maxsize=16)
+def butter_highpass_sos(order: int, fc_hz: float, fs: int):
+    """Butterworth high-pass as second-order sections (numerically stable
+    factorisation of magphase.py:990-995 for float32 device execution)."""
+    sos = sp_signal.butter(order, fc_hz / (fs / 2.0), btype="highpass",
+                           output="sos")
+    return tuple(map(tuple, sos.tolist()))
+
+
+def sosfilt(sos, x: jnp.ndarray) -> jnp.ndarray:
+    """Cascaded-biquad IIR filter (scipy.signal.sosfilt semantics, zero
+    initial state) via per-section associative scans.  Each biquad's 2x2
+    companion products stay well-conditioned in float32, unlike the direct
+    4th-order form."""
+    y = x
+    for b0, b1, b2, a0, a1, a2 in sos:
+        y = lfilter((b0, b1, b2), (a0, a1, a2), y)
     return y

@@ -32,6 +32,14 @@ import numpy as np
 from .spectral import mel_curve_np
 
 
+def mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """float32-accurate matmul.  JAX's default matmul precision in this
+    environment is bf16-class (~5e-2 relative error), unacceptable for
+    spectral transforms; 'highest' selects the fp32-equivalent multi-pass
+    MXU mode on TPU."""
+    return jnp.matmul(a, b, precision="highest")
+
+
 # ---------------------------------------------------------------------------
 # freqt as a matrix
 
@@ -63,7 +71,7 @@ def freqt(m_ceps: jnp.ndarray, m2: int, alpha: float) -> jnp.ndarray:
     m1 = m_ceps.shape[1] - 1
     F = jnp.asarray(freqt_matrix_np(m1, m2, alpha),
                     dtype=m_ceps.dtype)
-    return m_ceps @ F
+    return mm(m_ceps, F)
 
 
 # ---------------------------------------------------------------------------
@@ -84,7 +92,7 @@ def mcep_to_sp_cosmat(m_mcep: jnp.ndarray, n_spbins: int, alpha: float = 0.77,
     """mcep -> spectrum via cosine matrix (libaudio.py:605-631)."""
     C = jnp.asarray(cosmat_np(m_mcep.shape[1], n_spbins, alpha),
                     dtype=m_mcep.dtype)
-    m_sp = m_mcep @ C
+    m_sp = mm(m_mcep, C)
     if out_type == "abs":
         return jnp.exp(m_sp)
     if out_type == "db":
@@ -174,7 +182,7 @@ def mc2b(m_mc: jnp.ndarray, alpha: float) -> jnp.ndarray:
     j = np.arange(M + 1)
     T = np.where(j[None, :] >= j[:, None],
                  (-alpha) ** (j[None, :] - j[:, None]), 0.0)
-    return m_mc @ jnp.asarray(T.T, dtype=m_mc.dtype)
+    return mm(m_mc, jnp.asarray(T.T, dtype=m_mc.dtype))
 
 
 def b2mc(m_b: jnp.ndarray, alpha: float) -> jnp.ndarray:

@@ -1,0 +1,432 @@
+"""Compressed (low-dimensional) analysis and synthesis — the acoustic-model
+feature path.
+
+Reference live API (SURVEY.md 2.2):
+  format_for_modelling          magphase.py:2490-2544
+  analysis_compressed           magphase.py:2947-2988
+  analysis_for_acoustic_modelling magphase.py:2992-3022
+  phase_uncompress_type1_mcep   magphase.py:1219-1235
+  synthesis_from_compressed     magphase.py:825-997
+  synthesis_from_acoustic_modelling magphase.py:3229-3275
+
+All SPTK subprocess hops of the reference (3 x mcep per utterance at
+analysis; mel-unwarps at synthesis) are on-device matmuls here
+(core/melcep.py).  Synthesis noise is keyed jax.random instead of the
+reference's unseeded np.random (magphase.py:883) — deterministic under an
+explicit PRNG key; the per-frame gain normalisation (magphase.py:900-906)
+makes the output statistically equivalent for any key.
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import (MagPhaseConfig, define_alpha, define_crossfade_params,
+                      define_fft_len)
+from ..core import framing, melcep
+from ..core.filters import butter_highpass_coeffs, lfilter, medfilt3
+from ..core.interp import extend_nearest_coeffs, interp_linear_axis0
+from ..core.spectral import (build_mel_curve, crossfade_down_win_np, db,
+                             f0_to_lf0, mel_curve_np, protected_log,
+                             build_min_phase_from_mag_spec)
+from ..core.windows import HANNING, VOI_NOISE
+from ..io import wav as wav_io
+from ..io.featfile import read_binfile, write_featfile
+from ..utils.padding import FRM_STEP, SIG_STEP, bucket, pad_to
+from . import framerate, lossless
+from .postfilter import post_filter, post_filter_merlin
+
+
+def get_num_full_mel_coeffs_from_num_phase_coeffs(freq_hz: float,
+                                                  phase_dim: int,
+                                                  alpha: float,
+                                                  fs: int) -> int:
+    """Invert the mel curve: full-band mel coefficient count such that
+    ``phase_dim`` coefficients reach ``freq_hz`` (magphase.py:2479-2487)."""
+    crsf_cw = 2 * np.pi * freq_hz / float(fs)
+    cf_mel = np.arctan((1 - alpha ** 2) * np.sin(crsf_cw)
+                       / ((1 + alpha ** 2) * np.cos(crsf_cw) - 2 * alpha))
+    if cf_mel < 0:
+        cf_mel += np.pi
+    return int(np.round(1 + (np.pi * (phase_dim - 1) / float(cf_mel))))
+
+
+# ---------------------------------------------------------------------------
+# analysis side
+
+@functools.partial(jax.jit, static_argnames=("mag_dim", "phase_dim",
+                                             "mag_dim_ph", "alpha",
+                                             "alpha_phase"))
+def _format_kernel(m_mag, m_real, m_imag, v_voi, *, mag_dim: int,
+                   phase_dim: int, mag_dim_ph: int, alpha: float,
+                   alpha_phase: float):
+    """Mel-compression of the three spectral streams
+    (format_for_modelling, magphase.py:2503-2542)."""
+    m_mag_mel = melcep.sp_mel_warp(m_mag, mag_dim, alpha=alpha, in_type=3)
+    m_mag_mel_log = protected_log(m_mag_mel)
+
+    m_real_mel = melcep.sp_mel_warp(m_real, mag_dim_ph, alpha=alpha_phase,
+                                    in_type=2)[:, :phase_dim]
+    m_imag_mel = melcep.sp_mel_warp(m_imag, mag_dim_ph, alpha=alpha_phase,
+                                    in_type=2)[:, :phase_dim]
+    m_real_mel = jnp.clip(m_real_mel * v_voi[:, None], -1.0, 1.0)
+    m_imag_mel = jnp.clip(m_imag_mel * v_voi[:, None], -1.0, 1.0)
+    return m_mag_mel_log, m_real_mel, m_imag_mel
+
+
+def format_for_modelling(m_mag, m_real, m_imag, v_f0, fs: int,
+                         mag_dim: int = 60, phase_dim: int = 45,
+                         alpha_phase: float | None = None):
+    """magphase.py:2490-2544.  numpy in/out; mel warps on device."""
+    alpha = define_alpha(fs)
+    if alpha_phase is None:
+        alpha_phase = alpha
+    crsf_cf, _ = define_crossfade_params(fs)
+    mag_dim_ph = get_num_full_mel_coeffs_from_num_phase_coeffs(
+        crsf_cf, phase_dim, alpha_phase, fs)
+
+    # f0 -> smoothed lf0, host-side float64 (magphase.py:2499-2501)
+    from scipy import signal as sp_signal
+    v_voi = (np.asarray(v_f0) > 0).astype(np.float64)
+    v_f0_smth = v_voi * sp_signal.medfilt(np.asarray(v_f0, np.float64))
+    with np.errstate(divide="ignore"):
+        v_lf0_smth = np.log(np.maximum(v_f0_smth, 0))
+    v_lf0_smth[~np.isfinite(v_lf0_smth)] = -1.0e10   # la.f0_to_lf0 MAGIC
+
+    nfrms = m_mag.shape[0]
+    F = bucket(nfrms, FRM_STEP)
+    mag_d = jnp.asarray(pad_to(np.asarray(m_mag, np.float32), F))
+    real_d = jnp.asarray(pad_to(np.asarray(m_real, np.float32), F))
+    imag_d = jnp.asarray(pad_to(np.asarray(m_imag, np.float32), F))
+    voi_d = jnp.asarray(pad_to(v_voi.astype(np.float32), F))
+
+    mml, mrm, mim = _format_kernel(mag_d, real_d, imag_d, voi_d,
+                                   mag_dim=mag_dim, phase_dim=phase_dim,
+                                   mag_dim_ph=mag_dim_ph, alpha=alpha,
+                                   alpha_phase=alpha_phase)
+    mml, mrm, mim = jax.device_get((mml, mrm, mim))
+    return (mml[:nfrms].astype(np.float64), mrm[:nfrms].astype(np.float64),
+            mim[:nfrms].astype(np.float64), v_lf0_smth)
+
+
+def analysis_compressed(wav_file: str, fft_len: int | None = None,
+                        mag_dim: int = 60, phase_dim: int = 10,
+                        b_const_rate: bool = False,
+                        alpha_phase: float | None = None,
+                        est_file: str | None = None,
+                        pm_sec=None, voi=None):
+    """magphase.py:2947-2988."""
+    m_mag, m_real, m_imag, v_f0, fs, v_shift = lossless.analysis_lossless(
+        wav_file, fft_len=fft_len, est_file=est_file, pm_sec=pm_sec, voi=voi)
+
+    if b_const_rate:
+        const_rate_ms = 5.0
+        v_pm = np.cumsum(v_shift)
+        m_mag = np.asarray(framerate.interp_from_variable_to_const_frm_rate(
+            m_mag, v_pm, const_rate_ms, fs))
+        m_real = np.asarray(framerate.interp_from_variable_to_const_frm_rate(
+            m_real, v_pm, const_rate_ms, fs))
+        m_imag = np.asarray(framerate.interp_from_variable_to_const_frm_rate(
+            m_imag, v_pm, const_rate_ms, fs))
+        # voiced-only f0 interpolation trick (magphase.py:2976-2980)
+        vb_voi = v_f0 > 1.0
+        v_f0_i = np.asarray(framerate.interp_from_variable_to_const_frm_rate(
+            np.r_[v_f0[vb_voi][0], v_f0[vb_voi], v_f0[vb_voi][-1]],
+            np.r_[0, v_pm[vb_voi], v_pm[-1]], const_rate_ms, fs)).squeeze()
+        v_voi_i = np.asarray(framerate.interp_from_variable_to_const_frm_rate(
+            vb_voi.astype(np.float64), v_pm, const_rate_ms, fs)) > 0.5
+        v_f0 = v_f0_i * v_voi_i
+
+    m_mag_mel_log, m_real_mel, m_imag_mel, v_lf0 = format_for_modelling(
+        m_mag, m_real, m_imag, v_f0, fs, mag_dim=mag_dim,
+        phase_dim=phase_dim, alpha_phase=alpha_phase)
+    fft_len = 2 * (m_mag.shape[1] - 1)
+    return m_mag_mel_log, m_real_mel, m_imag_mel, v_lf0, v_shift, fs, fft_len
+
+
+def analysis_for_acoustic_modelling(wav_file: str, out_dir: str,
+                                    fft_len: int | None = None,
+                                    mag_dim: int = 60, phase_dim: int = 10,
+                                    b_const_rate: bool = False,
+                                    **kw) -> None:
+    """magphase.py:2992-3022 (without reproducing the
+    ``alpha_phase=b_mag_fbank_mel`` argument-passing bug at 3010)."""
+    (m_mag_mel_log, m_real_mel, m_imag_mel, v_lf0, v_shift, fs,
+     fft_len) = analysis_compressed(wav_file, fft_len=fft_len,
+                                    mag_dim=mag_dim, phase_dim=phase_dim,
+                                    b_const_rate=b_const_rate, **kw)
+    file_id = os.path.basename(wav_file).split(".")[0]
+    write_featfile(m_mag_mel_log, out_dir, file_id + ".mag")
+    write_featfile(m_real_mel, out_dir, file_id + ".real")
+    write_featfile(m_imag_mel, out_dir, file_id + ".imag")
+    write_featfile(v_lf0, out_dir, file_id + ".lf0")
+    if not b_const_rate:
+        write_featfile(v_shift, out_dir, file_id + ".shift")
+
+
+# ---------------------------------------------------------------------------
+# synthesis side
+
+def phase_uncompress_type1_mcep(m_real_mel, m_imag_mel, alpha: float,
+                                fft_len: int, fs: int):
+    """magphase.py:1219-1235: nearest-extend phase_dim ->
+    mag_dim_for_phase_comp coefficients, then mel-unwarp."""
+    ncoeffs_comp = m_real_mel.shape[1]
+    crsf_cf = define_crossfade_params(fs)[0]
+    mag_dim_ph = get_num_full_mel_coeffs_from_num_phase_coeffs(
+        crsf_cf, ncoeffs_comp, alpha, fs)
+    h = 1 + fft_len // 2
+    m_real_ext = extend_nearest_coeffs(jnp.asarray(m_real_mel), mag_dim_ph)
+    m_imag_ext = extend_nearest_coeffs(jnp.asarray(m_imag_mel), mag_dim_ph)
+    m_real = melcep.sp_mel_unwarp(m_real_ext, h, alpha=alpha, in_type="log")
+    m_imag = melcep.sp_mel_unwarp(m_imag_ext, h, alpha=alpha, in_type="log")
+    return m_real, m_imag
+
+
+@functools.partial(
+    jax.jit, static_argnames=("fft_len", "mag_dim_ph", "alpha", "alpha_phase"))
+def _unwarp_kernel(m_mag_mel_log, m_real_mel, m_imag_mel, *, fft_len: int,
+                   mag_dim_ph: int, alpha: float, alpha_phase: float):
+    """Mel-unwarp of the three streams to full resolution
+    (magphase.py:850-858)."""
+    h = fft_len // 2 + 1
+    m_mag = jnp.exp(melcep.sp_mel_unwarp(m_mag_mel_log, h, alpha=alpha,
+                                         in_type="log"))
+    m_real_ext = extend_nearest_coeffs(m_real_mel, mag_dim_ph)
+    m_imag_ext = extend_nearest_coeffs(m_imag_mel, mag_dim_ph)
+    m_real = melcep.sp_mel_unwarp(m_real_ext, h, alpha=alpha_phase,
+                                  in_type="log")
+    m_imag = melcep.sp_mel_unwarp(m_imag_ext, h, alpha=alpha_phase,
+                                  in_type="log")
+    return m_mag, m_real, m_imag
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fs", "fft_len", "alpha", "b_voi_ap_win",
+                     "per_phase_type", "out_len_max", "ns_len_max"))
+def _synthesis_core_kernel(m_mag, m_real, m_imag, v_voi, pm, shifts, nfrms,
+                           ns_len, key, *, fs: int, fft_len: int,
+                           alpha: float, b_voi_ap_win: bool,
+                           per_phase_type: str, out_len_max: int,
+                           ns_len_max: int):
+    """The v2.0 synthesis pipeline from full-resolution spectra
+    (magphase.py:872-976), one fused kernel.
+
+    Inputs are frame-padded; pm/shifts precomputed host-side in float64
+    (truncation semantics of magphase.py:879-880).  Returns the un-trimmed
+    OLA buffer (caller slices to out_len and applies the optional HPF).
+    """
+    h = fft_len // 2 + 1
+    dtype = m_mag.dtype
+    fidx = jnp.arange(pm.shape[0])
+    valid = fidx < nfrms
+    voi = v_voi.astype(bool) & valid
+    unv = (~v_voi.astype(bool)) & valid
+
+    # --- periodic/aperiodic mask (872-875): voiced rows get the crossfade
+    crsf_cf, crsf_bw = define_crossfade_params(fs)
+    w_down = jnp.asarray(crossfade_down_win_np(crsf_cf, crsf_bw, fs, h),
+                         dtype)
+    m_mask_per = jnp.where(voi[:, None], w_down[None, :], 0.0)
+
+    # --- noise generation + pitch-sync windowing (877-897)
+    v_ns = jax.random.uniform(key, (ns_len_max,), dtype=dtype,
+                              minval=-1.0, maxval=1.0)
+    m_frm_ns, _, _, _ = framing.pitch_sync_frames(
+        v_ns, pm, nfrms, ns_len, fft_len,
+        win_family=(VOI_NOISE if b_voi_ap_win else HANNING),
+        voiced=voi, win_family_unvoiced=HANNING)
+    m_ns_cmplx = jnp.fft.rfft(m_frm_ns)
+
+    # --- noise gain normalisation (899-906): sqrt(exp(mean(log|NS|_mid^2)))
+    m_ns_mag = jnp.abs(m_ns_cmplx)
+    log2 = protected_log(m_ns_mag[:, 1:-1]) ** 2
+
+    def _masked_gain(mask):
+        cnt = jnp.maximum(jnp.sum(mask), 1) * (h - 2)
+        s = jnp.sum(jnp.where(mask[:, None], log2, 0.0))
+        return jnp.sqrt(jnp.exp(s / cnt))
+
+    gain_voi = _masked_gain(voi)
+    gain_unv = _masked_gain(unv)
+    m_ns_cmplx = m_ns_cmplx / jnp.where(voi, gain_voi,
+                                        jnp.where(unv, gain_unv, 1.0))[:, None]
+
+    # --- aperiodic spectrum (908-918)
+    m_ap = m_ns_cmplx * m_mag
+    v_line_unv = jnp.asarray(
+        db(build_mel_curve(alpha, h, amp=3.5) - 3.5, b_inv=True), dtype)
+    m_ap = jnp.where(unv[:, None], m_ap * v_line_unv[None, :], m_ap)
+
+    # --- periodic spectrum (920-941)
+    if per_phase_type == "magphase":
+        m_ph = m_real + 1j * m_imag
+        m_ph_mag = jnp.abs(m_ph)
+        m_ph_mag = jnp.where(m_ph_mag == 0.0, 1.0, m_ph_mag)
+        m_per = m_mag * m_ph / m_ph_mag
+    elif per_phase_type == "linear":
+        m_per = m_mag.astype(m_ap.dtype)
+    elif per_phase_type == "min_phase":
+        m_per = build_min_phase_from_mag_spec(m_mag)
+    else:
+        raise ValueError(per_phase_type)
+    v_line_voi = jnp.asarray(db(build_mel_curve(0.6, h, amp=2.0),
+                                b_inv=True), dtype)
+    m_per = jnp.where(voi[:, None], m_per * v_line_voi[None, :], m_per)
+
+    # --- apply masks with sqrt + zero protection (944-952)
+    crsf_curve_fact = 0.5
+    m_per = m_per * (m_mask_per ** crsf_curve_fact)
+    m_ap = m_ap * ((1.0 - m_mask_per) ** crsf_curve_fact)
+    m_per = jnp.where(m_mask_per == 0.0, 0.0, m_per)
+    m_ap = jnp.where(m_mask_per == 1.0, 0.0, m_ap)
+
+    # --- sum + DC/Nyquist protection (954-961)
+    m_syn = m_per + m_ap
+    m_syn = m_syn.at[:, 0].set(jnp.abs(m_syn[:, 0]) + 0j)
+    m_syn = m_syn.at[:, -1].set(jnp.abs(m_syn[:, -1]) + 0j)
+
+    # --- to time domain (963-965)
+    m_frm = jnp.fft.irfft(m_syn, n=fft_len)
+    m_frm = jnp.roll(m_frm, fft_len // 2, axis=1)
+
+    # --- anti-ringing window (968-973)
+    m_frm = framing.apply_anti_ringing(m_frm, shifts, nfrms)
+
+    # --- PSOLA overlap-add (976)
+    return framing.ola_centered(m_frm, pm, nfrms, out_len_max)
+
+
+def synthesis_from_compressed(m_mag_mel_log, m_real_mel, m_imag_mel, v_lf0,
+                              fs: int, fft_len: int | None = None,
+                              b_voi_ap_win: bool = True,
+                              b_const_rate: bool = False,
+                              per_phase_type: str = "magphase",
+                              alpha_phase: float | None = None,
+                              b_out_hpf: bool = True,
+                              key=None) -> np.ndarray:
+    """Primary v2.0 synthesis entry (magphase.py:825-997)."""
+    alpha = define_alpha(fs)
+    if fft_len is None:
+        fft_len = define_fft_len(fs)
+    if alpha_phase is None:
+        alpha_phase = alpha
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    m_mag_mel_log = np.asarray(m_mag_mel_log, np.float64)
+    m_real_mel = np.atleast_2d(np.asarray(m_real_mel, np.float64))
+    m_imag_mel = np.atleast_2d(np.asarray(m_imag_mel, np.float64))
+    v_lf0 = np.asarray(v_lf0, np.float64)
+
+    # f0 / voicing / shifts, host float64 (magphase.py:845-848)
+    v_f0 = np.exp(v_lf0)
+    v_voi = v_f0 > 1.0
+    v_shift = framerate.f0_to_shift_np(v_f0, fs)
+
+    mag_dim_ph = get_num_full_mel_coeffs_from_num_phase_coeffs(
+        define_crossfade_params(fs)[0], m_real_mel.shape[1], alpha_phase, fs)
+
+    # --- mel-unwarp on device (850-858)
+    Fin = bucket(m_mag_mel_log.shape[0], FRM_STEP)
+    m_mag_d, m_real_d, m_imag_d = _unwarp_kernel(
+        jnp.asarray(pad_to(m_mag_mel_log.astype(np.float32), Fin)),
+        jnp.asarray(pad_to(m_real_mel.astype(np.float32), Fin)),
+        jnp.asarray(pad_to(m_imag_mel.astype(np.float32), Fin)),
+        fft_len=fft_len, mag_dim_ph=mag_dim_ph, alpha=alpha,
+        alpha_phase=alpha_phase)
+    n_in = m_mag_mel_log.shape[0]
+    m_mag_d = m_mag_d[:n_in]
+    m_real_d = m_real_d[:n_in]
+    m_imag_d = m_imag_d[:n_in]
+
+    # --- constant -> variable frame rate on the unwarped spectra (861-870)
+    if b_const_rate:
+        const_rate_ms = 5.0
+        v_shift, v_frm_locs = \
+            framerate.get_shifts_and_frm_locs_from_const_shifts(
+                v_shift, const_rate_ms, fs)
+        m_mag_d = framerate.interp_from_const_to_variable_rate(
+            m_mag_d, v_frm_locs, const_rate_ms, fs)
+        m_real_d = framerate.interp_from_const_to_variable_rate(
+            m_real_d, v_frm_locs, const_rate_ms, fs)
+        m_imag_d = framerate.interp_from_const_to_variable_rate(
+            m_imag_d, v_frm_locs, const_rate_ms, fs)
+        v_voi = np.asarray(framerate.interp_from_const_to_variable_rate(
+            v_voi.astype(np.float64), v_frm_locs, const_rate_ms, fs)) > 0.5
+
+    nfrms = int(v_shift.shape[0])
+    v_shift_i = v_shift.astype(np.int64)          # truncation (879)
+    v_pm = np.cumsum(v_shift_i)                   # shift_to_pm (880)
+    ns_len = int(v_pm[-1] + (v_pm[-1] - v_pm[-2]))
+    shift_last = int(v_pm[-1] - v_pm[-2])
+    out_len = int(v_pm[-1] + shift_last + 1)
+
+    F = bucket(nfrms, FRM_STEP)
+    O = bucket(out_len, SIG_STEP)
+    NS = bucket(ns_len, SIG_STEP)
+
+    def _pad_rows(x):
+        x = jnp.asarray(x, jnp.float32)
+        pad = F - x.shape[0]
+        if pad > 0:
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+        return x
+
+    buf = _synthesis_core_kernel(
+        _pad_rows(m_mag_d), _pad_rows(m_real_d), _pad_rows(m_imag_d),
+        jnp.asarray(pad_to(v_voi.astype(np.float32), F)),
+        jnp.asarray(pad_to(v_pm.astype(np.int32), F)),
+        jnp.asarray(pad_to(v_shift_i.astype(np.int32), F)),
+        jnp.int32(nfrms), jnp.int32(ns_len), key,
+        fs=fs, fft_len=fft_len, alpha=alpha, b_voi_ap_win=b_voi_ap_win,
+        per_phase_type=per_phase_type, out_len_max=O, ns_len_max=NS)
+
+    v_syn = np.asarray(jax.device_get(buf)[:out_len], np.float64)
+
+    if b_out_hpf:
+        # 4th-order Butterworth high-pass at 40 Hz (magphase.py:990-995).
+        # Host-side float64: the poles sit so close to the unit circle that
+        # float32 state recursions are numerically explosive (the on-device
+        # batched path uses the SOS-cascade scan in core/filters.py).
+        from scipy import signal as sp_signal
+        b, a = butter_highpass_coeffs(4, 40.0, fs)
+        v_syn = sp_signal.lfilter(np.asarray(b), np.asarray(a), v_syn)
+    return v_syn
+
+
+def synthesis_from_acoustic_modelling(in_feats_dir: str, filename_token: str,
+                                      out_syn_dir: str, mag_dim: int,
+                                      phase_dim: int, fs: int,
+                                      fft_len: int | None = None,
+                                      pf_type: str = "no",
+                                      b_const_rate: bool = False,
+                                      key=None) -> None:
+    """File-level TTS synthesis entry (magphase.py:3229-3275)."""
+    m_mag_mel_log = read_binfile(
+        os.path.join(in_feats_dir, filename_token + ".mag"), dim=mag_dim)
+    m_real_mel = read_binfile(
+        os.path.join(in_feats_dir, filename_token + ".real"), dim=phase_dim)
+    m_imag_mel = read_binfile(
+        os.path.join(in_feats_dir, filename_token + ".imag"), dim=phase_dim)
+    v_lf0 = read_binfile(
+        os.path.join(in_feats_dir, filename_token + ".lf0"), dim=1)
+
+    if pf_type == "magphase":
+        m_mag_mel_log = np.asarray(post_filter(m_mag_mel_log, fs))
+    elif pf_type == "merlin":
+        m_mag_mel_log = np.asarray(post_filter_merlin(m_mag_mel_log, fs))
+    elif pf_type != "no":
+        raise ValueError(pf_type)
+
+    v_syn = synthesis_from_compressed(m_mag_mel_log, m_real_mel, m_imag_mel,
+                                      v_lf0, fs, fft_len=fft_len,
+                                      b_const_rate=b_const_rate, key=key)
+    wav_io.write_audio_file(
+        os.path.join(out_syn_dir, filename_token + ".wav"), v_syn, fs)
