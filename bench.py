@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Benchmark: batch compressed vocoding throughput on TPU.
+
+Workload: the reference's batch_waveform_generation path
+(scripts/batch_waveform_generation.py, magphase.py:825-997) — synthesis of
+48 kHz waveforms from Merlin-predicted 60/45/45/1-dim MagPhase features —
+run as one jitted, batch-vectorised pipeline on device.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "audio_s_per_s", "vs_baseline": N}
+
+Baseline: BASELINE.json targets >=5000 audio-s/s on a v5e-16, i.e.
+312.5 audio-s/s/chip; vs_baseline = value / 312.5.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+PRED_DIR = "/root/reference/demos/data_48k/params_predicted"
+TOKENS = ["hvd_704", "hvd_705", "hvd_706", "hvd_708"]
+FS = 48000
+BATCH = 32
+ITERS = 8
+PER_CHIP_TARGET = 5000.0 / 16.0
+
+
+def main():
+    import jax
+    from magphase_tpu.io import read_binfile
+    from magphase_tpu.parallel.batch import synthesis_from_compressed_batch
+
+    utts = []
+    for i in range(BATCH):
+        t = TOKENS[i % len(TOKENS)]
+        utts.append((read_binfile(os.path.join(PRED_DIR, t + ".mag"), 60),
+                     read_binfile(os.path.join(PRED_DIR, t + ".real"), 45),
+                     read_binfile(os.path.join(PRED_DIR, t + ".imag"), 45),
+                     read_binfile(os.path.join(PRED_DIR, t + ".lf0"), 1)))
+
+    key = jax.random.PRNGKey(0)
+
+    # warmup (compile)
+    bufs, out_lens = synthesis_from_compressed_batch(
+        utts, FS, key=key, block_result=False)
+    jax.block_until_ready(bufs)
+    audio_s_per_iter = float(sum(out_lens)) / FS
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        bufs, _ = synthesis_from_compressed_batch(
+            utts, FS, key=jax.random.PRNGKey(i), block_result=False)
+    jax.block_until_ready(bufs)
+    dt = time.perf_counter() - t0
+
+    value = audio_s_per_iter * ITERS / dt
+    print(json.dumps({
+        "metric": "compressed_vocoding_throughput_1chip",
+        "value": round(value, 2),
+        "unit": "audio_s_per_s",
+        "vs_baseline": round(value / PER_CHIP_TARGET, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

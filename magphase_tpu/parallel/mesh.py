@@ -1,0 +1,50 @@
+"""Device mesh and sharding helpers.
+
+The reference's only parallelism is a multiprocessing.Pool fan-out over
+utterances (libutils.py:32-63).  Here the corpus batch axis is a first-class
+``data`` mesh axis: utterance tensors are sharded over devices with
+NamedSharding and every kernel is batch-vectorised, so XLA partitions the
+whole vocoder pipeline with zero cross-device communication (collectives
+appear only for metric reductions).
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def data_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D mesh over all (or the first n) devices, axis name 'data'."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), axis_names=("data",))
+
+
+def shard_batch(mesh: Mesh, *arrays):
+    """Place arrays with their leading (batch) axis sharded over 'data'."""
+    out = []
+    for a in arrays:
+        spec = P("data", *([None] * (a.ndim - 1)))
+        out.append(jax.device_put(a, NamedSharding(mesh, spec)))
+    return out if len(out) > 1 else out[0]
+
+
+def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def pad_batch_to_devices(n: int, n_devices: int) -> int:
+    """Batch size padded to a multiple of the device count."""
+    return int(np.ceil(n / n_devices)) * n_devices
+
+
+def maybe_initialize_distributed() -> None:
+    """Multi-host initialisation (jax.distributed) — no-op when the
+    coordinator env vars are absent (single host)."""
+    import os
+    if "JAX_COORDINATOR_ADDRESS" in os.environ and \
+            jax.process_count() == 1:
+        jax.distributed.initialize()

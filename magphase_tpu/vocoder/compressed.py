@@ -28,7 +28,7 @@ import numpy as np
 from ..config import (MagPhaseConfig, define_alpha, define_crossfade_params,
                       define_fft_len)
 from ..core import framing, melcep
-from ..core.filters import butter_highpass_coeffs, lfilter, medfilt3
+from ..core.filters import butter_highpass_coeffs
 from ..core.interp import extend_nearest_coeffs, interp_linear_axis0
 from ..core.spectral import (build_mel_curve, crossfade_down_win_np, db,
                              f0_to_lf0, mel_curve_np, protected_log,
@@ -205,15 +205,11 @@ def _unwarp_kernel(m_mag_mel_log, m_real_mel, m_imag_mel, *, fft_len: int,
     return m_mag, m_real, m_imag
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("fs", "fft_len", "alpha", "b_voi_ap_win",
-                     "per_phase_type", "out_len_max", "ns_len_max"))
-def _synthesis_core_kernel(m_mag, m_real, m_imag, v_voi, pm, shifts, nfrms,
-                           ns_len, key, *, fs: int, fft_len: int,
-                           alpha: float, b_voi_ap_win: bool,
-                           per_phase_type: str, out_len_max: int,
-                           ns_len_max: int):
+def synthesis_core(m_mag, m_real, m_imag, v_voi, pm, shifts, nfrms,
+                   ns_len, key, *, fs: int, fft_len: int,
+                   alpha: float, b_voi_ap_win: bool,
+                   per_phase_type: str, out_len_max: int,
+                   ns_len_max: int):
     """The v2.0 synthesis pipeline from full-resolution spectra
     (magphase.py:872-976), one fused kernel.
 
@@ -300,6 +296,13 @@ def _synthesis_core_kernel(m_mag, m_real, m_imag, v_voi, pm, shifts, nfrms,
 
     # --- PSOLA overlap-add (976)
     return framing.ola_centered(m_frm, pm, nfrms, out_len_max)
+
+
+_synthesis_core_kernel = functools.partial(
+    jax.jit,
+    static_argnames=("fs", "fft_len", "alpha", "b_voi_ap_win",
+                     "per_phase_type", "out_len_max", "ns_len_max"))(
+        synthesis_core)
 
 
 def synthesis_from_compressed(m_mag_mel_log, m_real_mel, m_imag_mel, v_lf0,

@@ -2,13 +2,16 @@
 tests run without TPU hardware, before jax initialises."""
 import os
 
-# force-set: the environment pins JAX_PLATFORMS=axon (remote TPU tunnel),
-# which would run every eager op over the network
+# force CPU with 8 virtual devices: the environment pins JAX_PLATFORMS=axon
+# (remote TPU tunnel; sitecustomize registers the plugin at interpreter
+# start), which would run every eager op over the network.  jax.config wins
+# over the env var even after the plugin registered.
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
