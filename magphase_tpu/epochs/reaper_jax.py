@@ -1,13 +1,6 @@
-"""JAX epoch (pitch-mark) tracker — REAPER replacement.
-
-Placeholder module; the full NCCF + Viterbi + GCI-refinement tracker lands in
-`extract_epochs`.  See epochs/tracker.py design notes.
-"""
+"""JAX epoch (pitch-mark) tracker — REAPER replacement (see tracker.py)."""
 from __future__ import annotations
 
-import numpy as np
+from .tracker import extract_epochs, track_f0, place_epochs
 
-
-def extract_epochs(v_sig: np.ndarray, fs: int):
-    raise NotImplementedError(
-        "JAX epoch tracker not built yet; pass est_file/pm_sec explicitly.")
+__all__ = ["extract_epochs", "track_f0", "place_epochs"]

@@ -1,0 +1,306 @@
+"""JAX pitch tracker + epoch placer — on-device replacement for REAPER.
+
+The reference shells out to Google REAPER for every analysed utterance
+(``reaper -s -x 400 -m 50 -a -u 0.005``, libaudio.py:450-455): epoch (GCI)
+detection with voicing decisions, unvoiced marks every 5 ms.  This module
+rebuilds that capability TPU-natively:
+
+  1. preprocessing     — FIR high-pass (80 Hz) + decimation to 16 kHz,
+                         both as FFT convolutions (device);
+  2. NCCF              — normalised cross-correlation per 5 ms frame over
+                         lags for 50..400 Hz, computed for all frames at
+                         once via batched rfft/irfft (device; the RAPT/
+                         REAPER correlation, vectorised);
+  3. candidate search  — local-maxima mask + top-K (device);
+  4. Viterbi           — K+1-state DP (K lag candidates + unvoiced) with
+                         octave-jump and voicing-transition costs, a
+                         lax.scan over frames (device);
+  5. epoch placement   — integrate the period track through voiced
+                         regions, snapping each mark to the nearest
+                         waveform trough of the low-passed signal;
+                         unvoiced marks every 5 ms (host; O(n_marks)
+                         scalar walk, microseconds per utterance).
+
+Output contract matches ``la.read_reaper_est_file`` (libaudio.py:421-447):
+strictly increasing pitch-mark times in seconds + 0/1 voicing flags, final
+mark before the last sample.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.padding import bucket
+
+# tracker constants (REAPER flag parity: -x 400 -m 50 -u 0.005)
+F0_MIN = 50.0
+F0_MAX = 400.0
+FRAME_STEP_S = 0.005
+FS_ANALYSIS = 16000
+CORR_WIN_S = 0.0075
+N_CAND = 15
+
+# DP costs (tuned on the demo corpus)
+UV_LOCAL = 0.35        # local cost of the unvoiced state
+VUV_COST = 0.20        # voicing transition cost
+TRANS_W = 0.60         # cost per |log2| octave of f0 movement
+LAG_BIAS = 0.05        # slight preference for shorter lags (anti-octave)
+
+
+@functools.lru_cache(maxsize=8)
+def _fir_highpass(fc_hz: float, fs: int, taps: int = 255) -> np.ndarray:
+    """Hann-windowed linear-phase high-pass (spectral inversion)."""
+    n = np.arange(taps) - (taps - 1) / 2
+    fc = fc_hz / fs
+    lp = 2 * fc * np.sinc(2 * fc * n)
+    lp *= np.hanning(taps)
+    lp /= lp.sum()
+    hp = -lp
+    hp[(taps - 1) // 2] += 1.0
+    return hp
+
+
+@functools.lru_cache(maxsize=8)
+def _fir_lowpass(fc_hz: float, fs: int, taps: int = 255) -> np.ndarray:
+    n = np.arange(taps) - (taps - 1) / 2
+    fc = fc_hz / fs
+    lp = 2 * fc * np.sinc(2 * fc * n)
+    lp *= np.hanning(taps)
+    lp /= lp.sum()
+    return lp
+
+
+def _fft_conv_same(x: jnp.ndarray, h: np.ndarray) -> jnp.ndarray:
+    """Zero-phase 'same' convolution via rfft (h symmetric, odd length)."""
+    n = x.shape[0]
+    taps = len(h)
+    nfft = 1 << int(np.ceil(np.log2(n + taps)))
+    H = jnp.fft.rfft(jnp.asarray(h, x.dtype), n=nfft)
+    y = jnp.fft.irfft(jnp.fft.rfft(x, n=nfft) * H, n=nfft)
+    off = (taps - 1) // 2
+    return y[off:off + n]
+
+
+@functools.partial(jax.jit, static_argnames=("fs", "n_pad"))
+def _preprocess(sig: jnp.ndarray, *, fs: int, n_pad: int):
+    """High-pass 80 Hz, decimate to FS_ANALYSIS; also a low-passed (800 Hz)
+    copy at the original rate for epoch snapping."""
+    x = sig - jnp.mean(sig)
+    x = _fft_conv_same(x, _fir_highpass(80.0, fs))
+    dec = fs // FS_ANALYSIS
+    if dec > 1:
+        xl = _fft_conv_same(x, _fir_lowpass(0.45 * FS_ANALYSIS, fs))
+        xa = xl[::dec]
+    else:
+        xa = x
+    y_snap = _fft_conv_same(sig - jnp.mean(sig), _fir_lowpass(800.0, fs))
+    return xa, y_snap
+
+
+@functools.partial(jax.jit, static_argnames=("n_frames_max",))
+def _nccf(xa: jnp.ndarray, n_frames: jnp.ndarray, *, n_frames_max: int):
+    """NCCF for all frames at once.
+
+    xa: analysis-rate signal (padded).  Returns (nccf[T,L+1], valid[T]).
+    """
+    fs_a = FS_ANALYSIS
+    step = int(round(FRAME_STEP_S * fs_a))          # 80
+    w = int(round(CORR_WIN_S * fs_a))               # 120
+    min_lag = int(fs_a / F0_MAX)                    # 40
+    max_lag = int(round(fs_a / F0_MIN))             # 320
+    seg_len = w + max_lag                           # 440
+    nfft = 1 << int(np.ceil(np.log2(seg_len + 1)))  # 512
+
+    t = jnp.arange(n_frames_max) * step
+    valid = jnp.arange(n_frames_max) < n_frames
+
+    idx = t[:, None] + jnp.arange(seg_len)[None, :]
+    idx = jnp.clip(idx, 0, xa.shape[0] - 1)
+    seg = jnp.take(xa, idx.reshape(-1)).reshape(idx.shape)
+
+    a = jnp.where(jnp.arange(seg_len)[None, :] < w, seg, 0.0)
+    A = jnp.fft.rfft(a, n=nfft)
+    B = jnp.fft.rfft(seg, n=nfft)
+    num = jnp.fft.irfft(jnp.conj(A) * B, n=nfft)[:, :max_lag + 1]
+
+    s2 = jnp.cumsum(seg * seg, axis=1)
+    s2 = jnp.concatenate([jnp.zeros_like(s2[:, :1]), s2], axis=1)
+    e0 = (s2[:, w] - s2[:, 0])[:, None]
+    tau = jnp.arange(max_lag + 1)[None, :]
+    e_tau = jnp.take_along_axis(s2, tau + w, axis=1) - \
+        jnp.take_along_axis(s2, tau, axis=1)
+    nccf = num / jnp.sqrt(e0 * e_tau + 1e-12)
+    # restrict to the valid lag band
+    lag_ok = (tau >= min_lag) & (tau <= max_lag)
+    nccf = jnp.where(lag_ok, nccf, -1.0)
+    return nccf, valid
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _candidates(nccf: jnp.ndarray):
+    """Local maxima -> top-K (values, refined fractional lags)."""
+    left = jnp.concatenate([nccf[:, :1], nccf[:, :-1]], axis=1)
+    right = jnp.concatenate([nccf[:, 1:], nccf[:, -1:]], axis=1)
+    is_peak = (nccf >= left) & (nccf > right)
+    scores = jnp.where(is_peak, nccf, -2.0)
+    vals, lags = jax.lax.top_k(scores, N_CAND)
+    # parabolic interpolation for fractional lag
+    l = jnp.clip(lags, 1, nccf.shape[1] - 2)
+    ym = jnp.take_along_axis(nccf, l - 1, axis=1)
+    y0 = jnp.take_along_axis(nccf, l, axis=1)
+    yp = jnp.take_along_axis(nccf, l + 1, axis=1)
+    denom = ym - 2 * y0 + yp
+    frac = jnp.where(jnp.abs(denom) > 1e-9,
+                     0.5 * (ym - yp) / denom, 0.0)
+    frac = jnp.clip(frac, -0.5, 0.5)
+    lag_ref = lags.astype(jnp.float32) + frac
+    return vals, lag_ref
+
+
+@jax.jit
+def _viterbi(vals: jnp.ndarray, lags: jnp.ndarray, valid: jnp.ndarray):
+    """K+1-state DP over frames.  State K = unvoiced.
+
+    Returns (best_state[T], delta_final).
+    """
+    T, K = vals.shape
+    log_lag = jnp.log2(jnp.maximum(lags, 1.0))
+    max_lag = FS_ANALYSIS / F0_MIN
+
+    local_v = 1.0 - vals + LAG_BIAS * (lags / max_lag)
+    local_v = jnp.where(vals > -1.5, local_v, 1e6)   # invalid candidates
+    local = jnp.concatenate([local_v, jnp.full((T, 1), UV_LOCAL)], axis=1)
+    # padding frames: force unvoiced at no cost
+    local = jnp.where(valid[:, None],
+                      local,
+                      jnp.concatenate([jnp.full((T, K), 1e6),
+                                       jnp.zeros((T, 1))], axis=1))
+
+    def step(carry, inp):
+        delta_prev, ll_prev = carry
+        loc, ll = inp
+        # transition matrix prev(i) -> cur(j)
+        jump = jnp.abs(ll_prev[:K, None] - ll[None, :K])     # (i,j)
+        tv = TRANS_W * jump                                   # v->v
+        trans = jnp.full((K + 1, K + 1), VUV_COST)
+        trans = trans.at[:K, :K].set(tv)
+        trans = trans.at[K, K].set(0.0)
+        tot = delta_prev[:, None] + trans                     # (i,j)
+        best_i = jnp.argmin(tot, axis=0)
+        delta = jnp.min(tot, axis=0) + loc
+        delta = delta - jnp.min(delta)                        # renormalise
+        return (delta, ll), (best_i, delta)
+
+    ll_all = jnp.concatenate([log_lag, jnp.zeros((T, 1))], axis=1)
+    init = (local[0], ll_all[0])
+    (_, _), (back, deltas) = jax.lax.scan(
+        step, init, (local[1:], ll_all[1:]))
+
+    last_state = jnp.argmin(deltas[-1])
+
+    def bstep(state, b):
+        # processing back[i]: carry = state of frame i+1; emit it, move to
+        # its best predecessor (frame i's state)
+        prev = b[state]
+        return prev, state
+
+    first_state, states_rev = jax.lax.scan(bstep, last_state, back,
+                                           reverse=True)
+    states = jnp.concatenate([first_state[None], states_rev])
+    return states
+
+
+def track_f0(v_sig: np.ndarray, fs: int):
+    """Full F0 track: returns (f0[T], voiced[T], frame_step_s).
+
+    f0 is 0 in unvoiced frames; frame t covers time t*FRAME_STEP_S.
+    """
+    sig = jnp.asarray(np.asarray(v_sig, np.float32))
+    n_pad = bucket(sig.shape[0], 1 << 15)
+    sig_p = jnp.concatenate(
+        [sig, jnp.zeros(n_pad - sig.shape[0], sig.dtype)])
+    xa, y_snap = _preprocess(sig_p, fs=fs, n_pad=n_pad)
+
+    fs_a = FS_ANALYSIS
+    step = int(round(FRAME_STEP_S * fs_a))
+    w = int(round(CORR_WIN_S * fs_a))
+    max_lag = int(round(fs_a / F0_MIN))
+    n_sig_a = (len(v_sig) * fs_a) // fs
+    n_frames = max(1, (n_sig_a - (w + max_lag)) // step + 1)
+    Tmax = bucket(n_frames, 128)
+
+    nccf, valid = _nccf(xa, jnp.int32(n_frames), n_frames_max=Tmax)
+    vals, lags = _candidates(nccf)
+    states = _viterbi(vals, lags, valid)
+
+    states = np.asarray(jax.device_get(states))[:n_frames]
+    vals_h = np.asarray(jax.device_get(vals))[:n_frames]
+    lags_h = np.asarray(jax.device_get(lags))[:n_frames]
+
+    voiced = states < N_CAND
+    lag_sel = np.where(voiced, lags_h[np.arange(n_frames),
+                                      np.clip(states, 0, N_CAND - 1)], 0.0)
+    f0 = np.where(voiced & (lag_sel > 0), fs_a / np.maximum(lag_sel, 1.0),
+                  0.0)
+    return f0, voiced, FRAME_STEP_S, np.asarray(jax.device_get(y_snap))[:len(v_sig)]
+
+
+def place_epochs(v_sig: np.ndarray, fs: int, f0: np.ndarray,
+                 voiced: np.ndarray, y_snap: np.ndarray,
+                 frame_step_s: float = FRAME_STEP_S):
+    """Period-integrating epoch placement with trough snapping (host).
+
+    Voiced regions: marks advance by the local period, each snapped to the
+    minimum of the 800 Hz low-passed waveform within +-30% of a period
+    (consistent GCI-adjacent placement).  Unvoiced: every 5 ms (REAPER
+    ``-u 0.005`` behaviour, libaudio.py:453).
+    """
+    n = len(v_sig)
+    T = len(f0)
+    step = frame_step_s * fs
+    unv_step = int(round(0.005 * fs))
+
+    def frame_of(t):
+        return min(T - 1, max(0, int(t / step)))
+
+    marks = []
+    flags = []
+    t = 0.0
+    # start: if first frame voiced, snap the first mark inside one period
+    while t < n - 1:
+        fr = frame_of(t)
+        if voiced[fr] and f0[fr] > 0:
+            period = fs / f0[fr]
+            lo = int(max(0, t + 0.7 * period))
+            hi = int(min(n - 1, t + 1.3 * period))
+            if hi <= lo + 1:
+                break
+            nxt = lo + int(np.argmin(y_snap[lo:hi]))
+            if marks and nxt <= marks[-1]:
+                nxt = marks[-1] + max(1, int(0.7 * period))
+            marks.append(nxt)
+            flags.append(1)
+            t = float(nxt)
+        else:
+            nxt = int(t) + unv_step
+            if nxt >= n - 1:
+                break
+            if marks and nxt <= marks[-1]:
+                nxt = marks[-1] + 1
+            marks.append(nxt)
+            flags.append(0)
+            t = float(nxt)
+
+    marks = np.asarray(marks, np.float64)
+    flags = np.asarray(flags, np.float64)
+    keep = marks < (n - 1)
+    return marks[keep] / fs, flags[keep]
+
+
+def extract_epochs(v_sig: np.ndarray, fs: int):
+    """Main entry: (pitch-mark times [s], voicing flags) — REAPER-style."""
+    f0, voiced, fstep, y_snap = track_f0(v_sig, fs)
+    return place_epochs(v_sig, fs, f0, voiced, y_snap, fstep)
