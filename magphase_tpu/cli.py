@@ -1,0 +1,173 @@
+"""Command-line interface — replaces the reference's edit-the-constants
+batch scripts (scripts/batch_feature_extraction_for_tts.py,
+scripts/batch_waveform_generation.py,
+scripts/batch_convert_label_state_aligned_to_variable_frame_rate.py).
+
+Usage:
+  python -m magphase_tpu.cli extract  --scp file_id.scp --wav-dir wavs \
+      --out-dir feats [--mag-dim 60 --phase-dim 45 --const-rate]
+  python -m magphase_tpu.cli generate --scp file_id.scp --feats-dir feats \
+      --out-dir wavs_syn --fs 48000 [--mag-dim 60 --phase-dim 45 \
+      --pf-type magphase --const-rate --batch-size 16]
+  python -m magphase_tpu.cli convert-labels --scp file_id.scp \
+      --shift-dir feats --lab-dir labs --out-dir labs_var
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def _add_common(p):
+    p.add_argument("--scp", required=True, help="utterance token list")
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--crash-list", default=None)
+
+
+def cmd_extract(args) -> int:
+    from .io import read_scp_file, mkdir, read_wav
+    from .utils.corpus import run_corpus
+    from .utils.metrics import setup_logging
+    from .vocoder import analysis_for_acoustic_modelling
+
+    setup_logging()
+    tokens = read_scp_file(args.scp)
+    mkdir(args.out_dir)
+
+    def process(tok):
+        wav = os.path.join(args.wav_dir, tok + ".wav")
+        analysis_for_acoustic_modelling(
+            wav, args.out_dir, fft_len=args.fft_len or None,
+            mag_dim=args.mag_dim, phase_dim=args.phase_dim,
+            b_const_rate=args.const_rate)
+        sig, fs = read_wav(wav)
+        return len(sig) / fs
+
+    res = run_corpus(tokens, process, args.out_dir,
+                     config={"mag_dim": args.mag_dim,
+                             "phase_dim": args.phase_dim,
+                             "const_rate": args.const_rate},
+                     crash_list_path=args.crash_list)
+    res.metrics.log_summary()
+    return 1 if res.failed else 0
+
+
+def cmd_generate(args) -> int:
+    import jax
+    from .io import read_scp_file, mkdir, read_binfile, write_audio_file
+    from .parallel.batch import synthesis_from_compressed_batch
+    from .utils.metrics import Metrics, setup_logging
+    from .vocoder.postfilter import post_filter, post_filter_merlin
+
+    setup_logging()
+    tokens = read_scp_file(args.scp)
+    mkdir(args.out_dir)
+    met = Metrics()
+    key = jax.random.PRNGKey(args.seed)
+
+    if args.const_rate:
+        # constant-rate inputs need the per-utterance backward shift walk
+        from .vocoder import synthesis_from_acoustic_modelling
+        for tok in tokens:
+            with met.stage("synthesis"):
+                key, sub = jax.random.split(key)
+                synthesis_from_acoustic_modelling(
+                    args.feats_dir, tok, args.out_dir, args.mag_dim,
+                    args.phase_dim, args.fs, pf_type=args.pf_type,
+                    b_const_rate=True, key=sub)
+        met.log_summary()
+        return 0
+
+    for i in range(0, len(tokens), args.batch_size):
+        chunk = tokens[i:i + args.batch_size]
+        utts = []
+        for tok in chunk:
+            d = args.feats_dir
+            utts.append((
+                read_binfile(os.path.join(d, tok + ".mag"), args.mag_dim),
+                read_binfile(os.path.join(d, tok + ".real"), args.phase_dim),
+                read_binfile(os.path.join(d, tok + ".imag"), args.phase_dim),
+                read_binfile(os.path.join(d, tok + ".lf0"), 1)))
+        with met.stage("synthesis"):
+            key, sub = jax.random.split(key)
+            wavs = synthesis_from_compressed_batch(
+                utts, args.fs, pf_type=args.pf_type, key=sub,
+                b_out_hpf=not args.no_hpf)
+        for tok, w in zip(chunk, wavs):
+            write_audio_file(os.path.join(args.out_dir, tok + ".wav"),
+                             w, args.fs)
+            met.add_audio(len(w) / args.fs)
+    met.log_summary()
+    return 0
+
+
+def cmd_convert_labels(args) -> int:
+    from .io import read_scp_file, mkdir, read_binfile
+    from .io.labels import (convert_label_state_align_to_var_frame_rate,
+                            get_num_of_frms_per_state)
+    from .utils.corpus import run_corpus
+    from .utils.metrics import setup_logging
+
+    setup_logging()
+    tokens = read_scp_file(args.scp)
+    mkdir(args.out_dir)
+
+    def process(tok):
+        v_shift = read_binfile(os.path.join(args.shift_dir, tok + ".shift"),
+                               dim=1)
+        lab_in = os.path.join(args.lab_dir, tok + ".lab")
+        v_nfrms = get_num_of_frms_per_state(v_shift, lab_in, args.fs,
+                                            b_prevent_zeros=True)
+        convert_label_state_align_to_var_frame_rate(
+            lab_in, v_nfrms, os.path.join(args.out_dir, tok + ".lab"))
+        return 0.0
+
+    res = run_corpus(tokens, process, args.out_dir,
+                     crash_list_path=args.crash_list)
+    return 1 if res.failed else 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="magphase_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("extract", help="batch feature extraction for TTS")
+    _add_common(pe)
+    pe.add_argument("--wav-dir", required=True)
+    pe.add_argument("--mag-dim", type=int, default=60)
+    pe.add_argument("--phase-dim", type=int, default=45)
+    pe.add_argument("--fft-len", type=int, default=0)
+    pe.add_argument("--const-rate", action="store_true")
+    pe.set_defaults(fn=cmd_extract)
+
+    pg = sub.add_parser("generate", help="batch waveform generation")
+    _add_common(pg)
+    pg.add_argument("--feats-dir", required=True)
+    pg.add_argument("--fs", type=int, default=48000)
+    pg.add_argument("--mag-dim", type=int, default=60)
+    pg.add_argument("--phase-dim", type=int, default=45)
+    pg.add_argument("--pf-type", default="magphase",
+                    choices=["magphase", "merlin", "no"])
+    pg.add_argument("--const-rate", action="store_true")
+    pg.add_argument("--no-hpf", action="store_true")
+    pg.add_argument("--batch-size", type=int, default=16)
+    pg.add_argument("--seed", type=int, default=0)
+    pg.set_defaults(fn=cmd_generate)
+
+    pc = sub.add_parser("convert-labels",
+                        help="state-aligned labels -> variable frame rate")
+    _add_common(pc)
+    pc.add_argument("--shift-dir", required=True)
+    pc.add_argument("--lab-dir", required=True)
+    pc.add_argument("--fs", type=int, default=48000)
+    pc.set_defaults(fn=cmd_convert_labels)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,89 @@
+"""Filter-bank mel warp family (experimental paths of the reference).
+
+References: apply_fbank (libaudio.py:721-761), sp_mel_warp_fbank (763-769),
+sp_mel_unwarp_fbank (815-845), unwarp_from_fbank (848-874),
+build_mel_curve (711-718).  These back the fbank phase-compression
+variants (phase_uncompress_fbank magphase.py:798-820,
+format_for_modelling_phase_comp 2547-2578).
+
+The filter bank is a fixed (nbins, nbands) matrix per (alpha, nbins,
+nbands) — precomputed host-side, applied as one matmul on device.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+from scipy import interpolate
+
+from .melcep import mm
+from .spectral import mel_curve_np, protected_log
+from .windows import gen_non_symmetric_win_np
+
+
+@functools.lru_cache(maxsize=16)
+def _fbank_matrix_np(alpha: float, nbins: int, nbands: int) -> np.ndarray:
+    """Triangular-ish averaging filter bank on the warped grid
+    (apply_fbank 'average' mode, libaudio.py:721-753)."""
+    v_bins_warp = mel_curve_np(alpha, nbins)
+    v_cntrs_mel = np.linspace(0, v_bins_warp[-1], nbands)
+    f_interp = interpolate.interp1d(v_bins_warp, np.arange(nbins),
+                                    kind="quadratic")
+    v_cntrs = np.round(f_interp(v_cntrs_mel)).astype(int)
+
+    m_fbank = np.zeros((nbins, nbands))
+    v_ext = np.r_[v_cntrs[0], v_cntrs, v_cntrs[-1]]
+    for nxb in range(1, nbands + 1):
+        wl = v_ext[nxb] - v_ext[nxb - 1]
+        wr = v_ext[nxb + 1] - v_ext[nxb]
+        v_win = gen_non_symmetric_win_np(wl, wr, np.hanning, b_norm=True)
+        m_fbank[v_ext[nxb - 1]:v_ext[nxb - 1] + len(v_win), nxb - 1] = v_win
+    return m_fbank
+
+
+@functools.lru_cache(maxsize=16)
+def _unwarp_interp_matrix_np(alpha: float, nbins: int, nbands: int,
+                             kind: str = "quadratic") -> np.ndarray:
+    """(nbands, nbins) interpolation matrix for unwarp_from_fbank
+    (libaudio.py:848-874): per-frame quadratic interp from band centres to
+    linear bins is a fixed linear map."""
+    v_bins_warp = mel_curve_np(alpha, nbins)
+    v_cntrs_mel = np.linspace(0, v_bins_warp[-1], nbands)
+    f_interp = interpolate.interp1d(v_bins_warp, np.arange(nbins),
+                                    kind=kind)
+    v_cntrs = np.round(f_interp(v_cntrs_mel)).astype(int)
+    M = np.zeros((nbands, nbins))
+    for b in range(nbands):
+        e = np.zeros(nbands)
+        e[b] = 1.0
+        f = interpolate.interp1d(v_cntrs, e, kind=kind)
+        M[b] = f(np.arange(nbins))
+    return M
+
+
+def apply_fbank(m_mag: jnp.ndarray, alpha: float, nbands: int) -> jnp.ndarray:
+    nbins = m_mag.shape[1]
+    B = jnp.asarray(_fbank_matrix_np(alpha, nbins, nbands), m_mag.dtype)
+    return mm(m_mag, B)
+
+
+def sp_mel_warp_fbank(m_mag: jnp.ndarray, n_melbands: int,
+                      alpha: float = 0.77) -> jnp.ndarray:
+    """libaudio.py:763-769: exp(fbank(log|X|))."""
+    return jnp.exp(apply_fbank(protected_log(m_mag), alpha, n_melbands))
+
+
+def unwarp_from_fbank(m_mag_mel: jnp.ndarray, alpha: float, nbins: int,
+                      interp_kind: str = "quadratic") -> jnp.ndarray:
+    """libaudio.py:848-874 as a matmul."""
+    nbands = m_mag_mel.shape[1]
+    M = jnp.asarray(_unwarp_interp_matrix_np(alpha, nbins, nbands,
+                                             interp_kind), m_mag_mel.dtype)
+    return mm(m_mag_mel, M)
+
+
+def sp_mel_unwarp_fbank(m_mag_mel: jnp.ndarray, nbins: int,
+                        alpha: float = 0.77) -> jnp.ndarray:
+    """libaudio.py:815-845."""
+    return unwarp_from_fbank(m_mag_mel, alpha, nbins)

@@ -102,12 +102,17 @@ def synthesis_from_compressed_batch(utts, fs: int,
     real_in = stack([np.atleast_2d(u[1]) for u in utts], F, np.float32)
     imag_in = stack([np.atleast_2d(u[2]) for u in utts], F, np.float32)
 
-    if pf_type == "magphase":
+    if pf_type in ("magphase", "merlin"):
+        # both post-filters are per-frame maps, so flattening (B,F,d) ->
+        # (B*F,d) is exact (padding rows are filtered too, then ignored)
+        from ..vocoder.postfilter import post_filter_merlin
         bf, fr, dd = mag_in.shape
-        mag_in = np.asarray(
-            post_filter(jnp.asarray(mag_in.reshape(bf * fr, dd)), fs)
-        ).reshape(bf, fr, dd)
-        # NOTE: endpoint pinning is per-frame, so flattening is exact.
+        flat = jnp.asarray(mag_in.reshape(bf * fr, dd))
+        if pf_type == "magphase":
+            flat = post_filter(flat, fs)
+        else:
+            flat = post_filter_merlin(flat, fs)
+        mag_in = np.asarray(flat).reshape(bf, fr, dd)
 
     # unwarp is frame-independent: flatten (B, F, d) -> (B*F, d)
     m_mag_d, m_real_d, m_imag_d = _unwarp_kernel(

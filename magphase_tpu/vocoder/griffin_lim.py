@@ -1,0 +1,89 @@
+"""Pitch-synchronous Griffin-Lim (magphase.py:3320-3373), on device.
+
+Layout note: the reference's Griffin-Lim keeps frames *centred* (pitch mark
+at fft_len/2, via frm_list_to_matrix) with no delay-compensation rotation on
+either side of the loop; that centred layout is our rotated layout fftshifted
+(roll by fft_len/2), see core/framing.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import framing
+from ..core.spectral import build_min_phase_from_mag_spec
+from ..core.windows import HANNING
+from ..utils.padding import FRM_STEP, SIG_STEP, bucket, pad_to
+
+
+@functools.partial(jax.jit, static_argnames=("fft_len", "niters",
+                                             "out_len_max", "phase_init"))
+def _griffin_lim_kernel(m_mag_half, pm, nfrms, key, *, fft_len: int,
+                        niters: int, out_len_max: int, phase_init: str):
+    """Returns (signal buffer, half phase)."""
+    F = m_mag_half.shape[0]
+    h = fft_len // 2 + 1
+    n_sig_max = out_len_max
+
+    # full-spectrum magnitude (add_hermitian_half, magphase.py:3353)
+    m_mag = jnp.concatenate([m_mag_half, m_mag_half[:, -2:0:-1]], axis=1)
+
+    if phase_init == "random":
+        m_phase = 2 * jnp.pi * (jax.random.uniform(key, (F, fft_len),
+                                                   m_mag_half.dtype) - 0.5)
+    elif phase_init == "linear":
+        imp = jnp.zeros((F, fft_len)).at[:, fft_len // 2].set(1.0)
+        m_phase = jnp.angle(jnp.fft.fft(imp))
+    elif phase_init == "min_phase":
+        mp = jnp.angle(build_min_phase_from_mag_spec(m_mag_half))
+        zeroed = mp.at[:, 0].set(0).at[:, -1].set(0)
+        m_phase = jnp.concatenate([zeroed, -zeroed[:, -2:0:-1]], axis=1)
+    else:
+        raise ValueError(phase_init)
+
+    n_sig = jnp.minimum(
+        pm[nfrms - 1] + (pm[nfrms - 1] - pm[nfrms - 2]) + 1, n_sig_max)
+
+    def body(i, m_phase):
+        # synthesis (magphase.py:3357-3360): frames are centred -> OLA
+        m_cmplx = m_mag * jnp.exp(1j * m_phase)
+        v_sig = framing.ola_centered(jnp.fft.ifft(m_cmplx).real, pm, nfrms,
+                                     n_sig_max)
+        # re-analysis (3365-3371): pitch-sync windowing, centred layout
+        frames, _, _, _ = framing.pitch_sync_frames(
+            v_sig, pm, nfrms, n_sig, fft_len, win_family=HANNING)
+        centred = jnp.roll(frames, fft_len // 2, axis=1)
+        return jnp.angle(jnp.fft.fft(centred))
+
+    m_phase = jax.lax.fori_loop(0, niters - 1, body, m_phase)
+    # final synthesis with the last phase (loop breaks before re-analysis)
+    m_cmplx = m_mag * jnp.exp(1j * m_phase)
+    v_sig = framing.ola_centered(jnp.fft.ifft(m_cmplx).real, pm, nfrms,
+                                 n_sig_max)
+    return v_sig, m_phase[:, :h]
+
+
+def griffin_lim(m_mag, v_shift, phase_init: str = "random",
+                niters: int = 30, key=None):
+    """magphase.py:3320-3373.  Returns (v_sig, half phase matrix)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    m_mag = np.asarray(m_mag, np.float64)
+    v_shift = np.round(np.asarray(v_shift)).astype(np.int64)
+    nfrms, h = m_mag.shape
+    fft_len = 2 * (h - 1)
+    v_pm = np.cumsum(v_shift)
+    out_len = int(v_pm[-1] + (v_pm[-1] - v_pm[-2]) + 1)
+
+    F = bucket(nfrms, FRM_STEP)
+    O = bucket(out_len, SIG_STEP)
+    v_sig, m_phase = _griffin_lim_kernel(
+        jnp.asarray(pad_to(m_mag.astype(np.float32), F)),
+        jnp.asarray(pad_to(v_pm.astype(np.int32), F)),
+        jnp.int32(nfrms), key, fft_len=fft_len, niters=niters,
+        out_len_max=O, phase_init=phase_init)
+    return (np.asarray(jax.device_get(v_sig)[:out_len], np.float64),
+            np.asarray(jax.device_get(m_phase)[:nfrms], np.float64))
