@@ -1,0 +1,79 @@
+"""On-device epoch placement: the period-integrating mark walk as a
+batched lax.fori_loop.
+
+The walk is inherently sequential over marks (each mark's position feeds
+the next), but it is trivially vmappable over utterances: one fori_loop of
+M_max steps advances every utterance's walker in lockstep.  This keeps the
+whole copy-synthesis pipeline device-resident (no signal download for the
+host walk in epochs/tracker.py:place_epochs — the two implementations are
+the same algorithm; see tests/test_epochs_device.py).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .tracker import FRAME_STEP_S, FS_ANALYSIS
+
+_SNAP_WIN = 1280          # >= 1.3 * max period (960 @ 48k) samples
+
+
+@functools.partial(jax.jit, static_argnames=("fs", "m_max"))
+def place_epochs_kernel(y_snap, f0, voiced, n_sig, *, fs: int, m_max: int):
+    """One utterance: (marks[m_max], flags[m_max], n_marks).
+
+    y_snap: low-passed signal (padded); f0/voiced: per-frame track.
+    """
+    T = f0.shape[0]
+    step = FRAME_STEP_S * fs
+    unv_step = int(round(0.005 * fs))
+    S = y_snap.shape[0]
+
+    def body(i, carry):
+        t, n_marks, done, marks, flags = carry
+        fr = jnp.clip((t / step).astype(jnp.int32), 0, T - 1)
+        is_voi = (voiced[fr] > 0) & (f0[fr] > 0)
+        period = jnp.where(is_voi, fs / jnp.maximum(f0[fr], 1.0),
+                           float(unv_step))
+
+        # voiced: snap to trough of y_snap in [t+0.7p, t+1.3p]
+        lo = jnp.maximum(0.0, t + 0.7 * period).astype(jnp.int32)
+        hi = jnp.minimum(float(S - 1), t + 1.3 * period)
+        offs = jnp.arange(_SNAP_WIN)
+        idx = jnp.clip(lo + offs, 0, S - 1)
+        vals = jnp.take(y_snap, idx)
+        in_win = (lo + offs).astype(jnp.float32) <= hi
+        vals = jnp.where(in_win, vals, jnp.inf)
+        nxt_voi = lo + jnp.argmin(vals)
+
+        nxt_unv = t.astype(jnp.int32) + unv_step
+        nxt = jnp.where(is_voi, nxt_voi, nxt_unv)
+        # monotonicity guard (tracker.place_epochs)
+        prev = jnp.where(n_marks > 0, marks[jnp.maximum(n_marks - 1, 0)],
+                         -1)
+        min_adv = jnp.where(is_voi,
+                            jnp.maximum(1, (0.7 * period).astype(jnp.int32)),
+                            1)
+        nxt = jnp.where(nxt <= prev, prev + min_adv, nxt)
+
+        ok = (~done) & (nxt < n_sig - 1) & (hi > lo + 1)
+        marks = jnp.where(ok, marks.at[n_marks].set(nxt), marks)
+        flags = jnp.where(ok, flags.at[n_marks].set(
+            is_voi.astype(jnp.float32)), flags)
+        n_marks = jnp.where(ok, n_marks + 1, n_marks)
+        done = done | ~ok
+        t = jnp.where(ok, nxt.astype(jnp.float32), t)
+        return (t, n_marks, done, marks, flags)
+
+    init = (jnp.float32(0.0), jnp.int32(0), jnp.bool_(False),
+            jnp.zeros(m_max, jnp.int32), jnp.zeros(m_max, jnp.float32))
+    _, n_marks, _, marks, flags = jax.lax.fori_loop(0, m_max, body, init)
+    return marks, flags, n_marks
+
+
+def place_epochs_batch_kernel(y_snap_b, f0_b, voiced_b, n_sig_b, *, fs: int,
+                              m_max: int):
+    one = functools.partial(place_epochs_kernel, fs=fs, m_max=m_max)
+    return jax.vmap(one)(y_snap_b, f0_b, voiced_b, n_sig_b)

@@ -1,0 +1,103 @@
+"""Fully device-resident batched copy-synthesis: wav in -> wav out with no
+intermediate host transfers.
+
+Pipeline (all on device, one utterance batch):
+  preprocess -> NCCF -> Viterbi     (epochs/tracker.py kernels, vmapped)
+  epoch walk                        (epochs/placement_device.py)
+  pitch-sync analysis + rfft        (vocoder/lossless.py kernel, vmapped)
+  phasor resynthesis + OLA          (vocoder/lossless.py kernel, vmapped)
+
+This is the reference's demo_copy_synthesis_lossless.py workload
+(REAPER + numpy loops + per-utterance processes) as a single jit.
+Synthesis uses the pitch marks directly (the f0 -> shift -> cumsum detour
+of magphase.py:1771-1772 is an exact round trip when features are not
+stored in between).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..epochs import tracker
+from ..epochs.placement_device import place_epochs_kernel
+from ..utils.padding import FRM_STEP, SIG_STEP, bucket, pad_to
+from ..vocoder.lossless import _analysis_kernel, _synthesis_kernel
+from .mesh import shard_batch
+
+
+@functools.partial(jax.jit, static_argnames=("fs", "n_pad", "n_frames_max",
+                                             "m_max", "fft_len",
+                                             "out_len_max"))
+def _copy_synthesis_kernel(sigs, n_sigs, n_frames, *, fs: int, n_pad: int,
+                           n_frames_max: int, m_max: int, fft_len: int,
+                           out_len_max: int):
+    """(B, S) signals -> (B, out_len_max) resynthesised signals + stats."""
+    fs_a = tracker.FS_ANALYSIS
+
+    def one(sig, n_sig, nf):
+        xa, y_snap = tracker._preprocess(sig, fs=fs, n_pad=n_pad)
+        nccf, valid = tracker._nccf(xa, nf, n_frames_max=n_frames_max)
+        vals, lags = tracker._candidates(nccf)
+        states = tracker._viterbi(vals, lags, valid)
+
+        voiced = (states < tracker.N_CAND) & valid
+        lag_sel = jnp.take_along_axis(
+            lags, jnp.clip(states, 0, tracker.N_CAND - 1)[:, None],
+            axis=1)[:, 0]
+        f0 = jnp.where(voiced & (lag_sel > 0),
+                       fs_a / jnp.maximum(lag_sel, 1.0), 0.0)
+
+        marks, flags, n_marks = place_epochs_kernel(
+            y_snap, f0, voiced.astype(jnp.float32), n_sig, fs=fs,
+            m_max=m_max)
+
+        mag, real, imag, _f0, shift = _analysis_kernel(
+            sig, marks, n_marks, n_sig, flags, fft_len=fft_len, fs=fs)
+        buf = _synthesis_kernel(mag, real, imag, marks, n_marks,
+                                fft_len=fft_len, out_len_max=out_len_max)
+        return buf, n_marks
+
+    return jax.vmap(one)(sigs, n_sigs, n_frames)
+
+
+def copy_synthesis_batch(signals: list, fs: int, fft_len: int = 4096,
+                         mesh=None, block_result: bool = True):
+    """Batched lossless copy-synthesis.  Returns list of waveforms (or the
+    device buffer + per-utterance mark counts when block_result=False)."""
+    B = len(signals)
+    S = bucket(max(len(s) for s in signals), SIG_STEP)
+    sigs = np.stack([pad_to(np.asarray(s, np.float32), S) for s in signals])
+    n_sigs = np.asarray([len(s) for s in signals], np.int32)
+
+    fs_a = tracker.FS_ANALYSIS
+    step = int(round(tracker.FRAME_STEP_S * fs_a))
+    w = int(round(tracker.CORR_WIN_S * fs_a))
+    max_lag = int(round(fs_a / tracker.F0_MIN))
+    n_frames = np.asarray(
+        [max(1, ((len(s) * fs_a) // fs - (w + max_lag)) // step + 1)
+         for s in signals], np.int32)
+    Tmax = bucket(int(n_frames.max()), 128)
+    m_max = bucket(S // 200 + 2, FRM_STEP)
+    out_len_max = S + (1 << 14)
+
+    sigs_d = jnp.asarray(sigs)
+    n_sigs_d = jnp.asarray(n_sigs)
+    n_frames_d = jnp.asarray(n_frames)
+    if mesh is not None:
+        sigs_d, n_sigs_d, n_frames_d = shard_batch(
+            mesh, sigs_d, n_sigs_d, n_frames_d)
+
+    bufs, n_marks = _copy_synthesis_kernel(
+        sigs_d, n_sigs_d, n_frames_d, fs=fs, n_pad=S, n_frames_max=Tmax,
+        m_max=m_max, fft_len=fft_len, out_len_max=out_len_max)
+
+    if not block_result:
+        return bufs, n_marks
+    bufs = jax.device_get(bufs)
+    out = []
+    for b in range(B):
+        out.append(np.asarray(bufs[b][:len(signals[b])], np.float64))
+    return out
