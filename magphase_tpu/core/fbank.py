@@ -87,3 +87,32 @@ def sp_mel_unwarp_fbank(m_mag_mel: jnp.ndarray, nbins: int,
                         alpha: float = 0.77) -> jnp.ndarray:
     """libaudio.py:815-845."""
     return unwarp_from_fbank(m_mag_mel, alpha, nbins)
+
+
+@functools.lru_cache(maxsize=16)
+def _unwarp_curve_matrix_np(alpha: float, nbins_total: int, max_bin: int,
+                            nbands: int, kind: str = "quadratic") -> np.ndarray:
+    """Interp matrix for a TRUNCATED warp curve
+    (phase_uncompress_fbank, magphase.py:798-808: the curve is
+    build_mel_curve(alpha, fft_len_half)[:max_bin])."""
+    v_bins_warp = mel_curve_np(alpha, nbins_total)[:max_bin]
+    v_cntrs_mel = np.linspace(0, v_bins_warp[-1], nbands)
+    f_interp = interpolate.interp1d(v_bins_warp, np.arange(max_bin),
+                                    kind=kind)
+    v_cntrs = np.round(f_interp(v_cntrs_mel)).astype(int)
+    M = np.zeros((nbands, max_bin))
+    for b in range(nbands):
+        e = np.zeros(nbands)
+        e[b] = 1.0
+        f = interpolate.interp1d(v_cntrs, e, kind=kind)
+        M[b] = f(np.arange(max_bin))
+    return M
+
+
+def unwarp_from_fbank_curve(m_mel: jnp.ndarray, alpha: float,
+                            nbins_total: int, max_bin: int,
+                            kind: str = "quadratic") -> jnp.ndarray:
+    nbands = m_mel.shape[1]
+    M = jnp.asarray(_unwarp_curve_matrix_np(alpha, nbins_total, max_bin,
+                                            nbands, kind), m_mel.dtype)
+    return mm(m_mel, M)

@@ -110,6 +110,93 @@ def ola_centered(frames: jnp.ndarray, pm: jnp.ndarray, nfrms: jnp.ndarray,
     return jax.lax.dynamic_slice(buf, (fft_len,), (out_len_max,))
 
 
+# ---------------------------------------------------------------------------
+# batched entry points with Pallas dispatch
+#
+# On TPU the ragged gather/scatter lower to element-wise gathers (~80M
+# elem/s); the Pallas kernels in pallas_kernels/framing_pallas.py do the
+# same work with aligned VMEM vector loads + dynamic lane rotation (~35x
+# faster).  CPU (tests) keeps the XLA reference path.
+
+def _on_tpu() -> bool:
+    import os
+    if os.environ.get("MAGPHASE_DISABLE_PALLAS"):
+        return False
+    import jax
+    return jax.default_backend() == "tpu"
+
+
+def frame_geometry_batch(pm: jnp.ndarray, nfrms: jnp.ndarray,
+                         n_sig: jnp.ndarray):
+    """(B, F) variant of frame_geometry."""
+    B, F = pm.shape
+    f = jnp.arange(F)[None, :]
+    pm_prev = jnp.where(f == 0, 0, jnp.roll(pm, 1, axis=1))
+    pm_next = jnp.where(f >= nfrms[:, None] - 1, n_sig[:, None] - 1,
+                        jnp.roll(pm, -1, axis=1))
+    L = pm - pm_prev
+    R = pm_next - pm
+    valid = f < nfrms[:, None]
+    L = jnp.where(valid, L, 0)
+    R = jnp.where(valid, R, 0)
+    return pm_prev, L, R, valid
+
+
+def pitch_sync_frames_batch(sig: jnp.ndarray, pm: jnp.ndarray,
+                            nfrms: jnp.ndarray, n_sig: jnp.ndarray,
+                            fft_len: int, win_family: int = W.HANNING,
+                            voiced: jnp.ndarray | None = None,
+                            win_family_unvoiced: int | None = None):
+    """Batched pitch_sync_frames: sig (B, S), pm/voiced (B, F),
+    nfrms/n_sig (B,).  Returns (frames (B,F,fft_len), L, R, valid)."""
+    B, S = sig.shape
+    pm = jnp.clip(pm, 0, S - 1)
+    _, L, R, valid = frame_geometry_batch(pm, nfrms, n_sig)
+    if _on_tpu():
+        from ..pallas_kernels.framing_pallas import frames_pallas, LANE
+        sigx = jnp.pad(sig, ((0, 0), (fft_len + LANE, 2 * fft_len)))
+        voi = voiced.astype(jnp.float32) if voiced is not None else \
+            jnp.zeros((B, pm.shape[1]), jnp.float32)
+        fam_u = win_family_unvoiced if win_family_unvoiced is not None \
+            else win_family
+        frames = frames_pallas(sigx, pm.astype(jnp.int32),
+                               L.astype(jnp.int32), R.astype(jnp.int32),
+                               voi, nfrms.astype(jnp.int32),
+                               fft_len=fft_len, fam_voiced=win_family,
+                               fam_unvoiced=fam_u)
+        return frames, L, R, valid
+
+    def one(sig1, pm1, nf1, ns1, voi1):
+        if voiced is not None and win_family_unvoiced is not None:
+            return pitch_sync_frames(sig1, pm1, nf1, ns1, fft_len,
+                                     win_family, voi1,
+                                     win_family_unvoiced)[0]
+        return pitch_sync_frames(sig1, pm1, nf1, ns1, fft_len,
+                                 win_family)[0]
+
+    voi_b = voiced if voiced is not None else jnp.zeros_like(pm, bool)
+    frames = jax.vmap(one)(sig, pm, nfrms, n_sig, voi_b)
+    return frames, L, R, valid
+
+
+def ola_centered_batch(frames: jnp.ndarray, pm: jnp.ndarray,
+                       nfrms: jnp.ndarray, out_len_max: int) -> jnp.ndarray:
+    """Batched ola_centered: frames (B,F,N), pm (B,F) -> (B, out_len_max)."""
+    B, F, N = frames.shape
+    if _on_tpu():
+        from ..pallas_kernels.framing_pallas import ola_pallas, LANE
+        out_pad = out_len_max + 4 * N
+        if out_pad % LANE:
+            out_pad += LANE - out_pad % LANE
+        starts = jnp.clip(pm - N // 2 + N, 0, out_pad - 2 * N)
+        out = ola_pallas(frames, starts.astype(jnp.int32),
+                         nfrms.astype(jnp.int32), fft_len=N,
+                         out_len_pad=out_pad)
+        return out[:, N:N + out_len_max]
+    return jax.vmap(lambda fr, p, nf: ola_centered(fr, p, nf, out_len_max))(
+        frames, pm, nfrms)
+
+
 def apply_anti_ringing(frames: jnp.ndarray, shifts: jnp.ndarray,
                        nfrms: jnp.ndarray) -> jnp.ndarray:
     """Per-frame centred raised-hanning anti-ringing window over a

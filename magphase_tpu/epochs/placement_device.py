@@ -38,12 +38,14 @@ def place_epochs_kernel(y_snap, f0, voiced, n_sig, *, fs: int, m_max: int):
         period = jnp.where(is_voi, fs / jnp.maximum(f0[fr], 1.0),
                            float(unv_step))
 
-        # voiced: snap to trough of y_snap in [t+0.7p, t+1.3p]
-        lo = jnp.maximum(0.0, t + 0.7 * period).astype(jnp.int32)
+        # voiced: snap to trough of y_snap in [t+0.7p, t+1.3p].
+        # dynamic_slice (contiguous) instead of gather — the gather form
+        # serialises element-at-a-time on TPU.
+        lo = jnp.clip(t + 0.7 * period, 0.0,
+                      float(S - _SNAP_WIN)).astype(jnp.int32)
         hi = jnp.minimum(float(S - 1), t + 1.3 * period)
         offs = jnp.arange(_SNAP_WIN)
-        idx = jnp.clip(lo + offs, 0, S - 1)
-        vals = jnp.take(y_snap, idx)
+        vals = jax.lax.dynamic_slice(y_snap, (lo,), (_SNAP_WIN,))
         in_win = (lo + offs).astype(jnp.float32) <= hi
         vals = jnp.where(in_win, vals, jnp.inf)
         nxt_voi = lo + jnp.argmin(vals)

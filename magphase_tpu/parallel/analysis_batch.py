@@ -108,9 +108,10 @@ def analysis_lossless_batch(signals: list, fs: int,
     nfrms_d = jnp.asarray(np.asarray(nfrms, np.int32))
     nsig_d = jnp.asarray(np.asarray([len(s) for s in signals], np.int32))
 
-    kern = functools.partial(_analysis_kernel, fft_len=fft_len, fs=fs)
-    mag, real, imag, _f0, shift = jax.jit(jax.vmap(kern))(
-        sigs_d, pm_d, nfrms_d, nsig_d, voi_d)
+    from ..vocoder.lossless import analysis_core_batch
+    kern = jax.jit(functools.partial(analysis_core_batch, fft_len=fft_len,
+                                     fs=fs))
+    mag, real, imag, _f0, shift = kern(sigs_d, pm_d, nfrms_d, nsig_d, voi_d)
     mag, real, imag, shift = jax.device_get((mag, real, imag, shift))
 
     out = []

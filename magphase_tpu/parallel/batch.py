@@ -20,7 +20,7 @@ from ..utils.padding import FRM_STEP, SIG_STEP, bucket, pad_to
 from ..vocoder import framerate
 from ..vocoder.compressed import (
     _unwarp_kernel, get_num_full_mel_coeffs_from_num_phase_coeffs,
-    synthesis_core)
+    synthesis_core_batch)
 from ..vocoder.postfilter import post_filter
 from .mesh import batch_sharding, data_mesh, shard_batch
 
@@ -34,14 +34,13 @@ def _batch_synthesis_core(m_mag, m_real, m_imag, v_voi, pm, shifts, nfrms,
                           ns_len, keys, *, fs, fft_len, alpha, b_voi_ap_win,
                           per_phase_type, out_len_max, ns_len_max,
                           b_out_hpf):
-    """vmapped synthesis core over the leading batch axis, plus the output
+    """Batched synthesis core (Pallas framing/OLA on TPU), plus the output
     high-pass as a cascaded-biquad scan (magphase.py:990-995)."""
-    core = functools.partial(
-        synthesis_core, fs=fs, fft_len=fft_len, alpha=alpha,
-        b_voi_ap_win=b_voi_ap_win, per_phase_type=per_phase_type,
-        out_len_max=out_len_max, ns_len_max=ns_len_max)
-    bufs = jax.vmap(core)(m_mag, m_real, m_imag, v_voi, pm, shifts, nfrms,
-                          ns_len, keys)
+    bufs = synthesis_core_batch(
+        m_mag, m_real, m_imag, v_voi, pm, shifts, nfrms, ns_len, keys,
+        fs=fs, fft_len=fft_len, alpha=alpha, b_voi_ap_win=b_voi_ap_win,
+        per_phase_type=per_phase_type, out_len_max=out_len_max,
+        ns_len_max=ns_len_max)
     if b_out_hpf:
         sos = butter_highpass_sos(4, 40.0, fs)
         bufs = jax.vmap(lambda x: sosfilt(sos, x))(bufs)

@@ -37,7 +37,7 @@ def _copy_synthesis_kernel(sigs, n_sigs, n_frames, *, fs: int, n_pad: int,
     """(B, S) signals -> (B, out_len_max) resynthesised signals + stats."""
     fs_a = tracker.FS_ANALYSIS
 
-    def one(sig, n_sig, nf):
+    def track_one(sig, n_sig, nf):
         xa, y_snap = tracker._preprocess(sig, fs=fs, n_pad=n_pad)
         nccf, valid = tracker._nccf(xa, nf, n_frames_max=n_frames_max)
         vals, lags = tracker._candidates(nccf)
@@ -53,14 +53,17 @@ def _copy_synthesis_kernel(sigs, n_sigs, n_frames, *, fs: int, n_pad: int,
         marks, flags, n_marks = place_epochs_kernel(
             y_snap, f0, voiced.astype(jnp.float32), n_sig, fs=fs,
             m_max=m_max)
+        return marks, flags, n_marks
 
-        mag, real, imag, _f0, shift = _analysis_kernel(
-            sig, marks, n_marks, n_sig, flags, fft_len=fft_len, fs=fs)
-        buf = _synthesis_kernel(mag, real, imag, marks, n_marks,
+    marks, flags, n_marks = jax.vmap(track_one)(sigs, n_sigs, n_frames)
+
+    # batched analysis + synthesis (Pallas framing/OLA on TPU)
+    from ..vocoder.lossless import analysis_core_batch, synthesis_core_batch
+    mag, real, imag, _f0, shift = analysis_core_batch(
+        sigs, marks, n_marks, n_sigs, flags, fft_len=fft_len, fs=fs)
+    bufs = synthesis_core_batch(mag, real, imag, marks, n_marks,
                                 fft_len=fft_len, out_len_max=out_len_max)
-        return buf, n_marks
-
-    return jax.vmap(one)(sigs, n_sigs, n_frames)
+    return bufs, n_marks
 
 
 def copy_synthesis_batch(signals: list, fs: int, fft_len: int = 4096,

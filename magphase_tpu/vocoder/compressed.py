@@ -205,22 +205,23 @@ def _unwarp_kernel(m_mag_mel_log, m_real_mel, m_imag_mel, *, fft_len: int,
     return m_mag, m_real, m_imag
 
 
-def synthesis_core(m_mag, m_real, m_imag, v_voi, pm, shifts, nfrms,
-                   ns_len, key, *, fs: int, fft_len: int,
-                   alpha: float, b_voi_ap_win: bool,
-                   per_phase_type: str, out_len_max: int,
-                   ns_len_max: int):
+def synthesis_core_batch(m_mag, m_real, m_imag, v_voi, pm, shifts, nfrms,
+                         ns_len, keys, *, fs: int, fft_len: int,
+                         alpha: float, b_voi_ap_win: bool,
+                         per_phase_type: str, out_len_max: int,
+                         ns_len_max: int):
     """The v2.0 synthesis pipeline from full-resolution spectra
-    (magphase.py:872-976), one fused kernel.
+    (magphase.py:872-976), batched over utterances: (B, F, H) spectra,
+    (B, F) voicing/pm/shifts, (B,) nfrms/ns_len, (B, 2) PRNG keys.
 
-    Inputs are frame-padded; pm/shifts precomputed host-side in float64
-    (truncation semantics of magphase.py:879-880).  Returns the un-trimmed
-    OLA buffer (caller slices to out_len and applies the optional HPF).
+    pm/shifts are precomputed host-side in float64 (truncation semantics of
+    magphase.py:879-880).  Returns the un-trimmed OLA buffers (B, out_len);
+    the caller slices per utterance and applies the optional HPF.
     """
+    B, F = pm.shape
     h = fft_len // 2 + 1
     dtype = m_mag.dtype
-    fidx = jnp.arange(pm.shape[0])
-    valid = fidx < nfrms
+    valid = jnp.arange(F)[None, :] < nfrms[:, None]
     voi = v_voi.astype(bool) & valid
     unv = (~v_voi.astype(bool)) & valid
 
@@ -228,12 +229,12 @@ def synthesis_core(m_mag, m_real, m_imag, v_voi, pm, shifts, nfrms,
     crsf_cf, crsf_bw = define_crossfade_params(fs)
     w_down = jnp.asarray(crossfade_down_win_np(crsf_cf, crsf_bw, fs, h),
                          dtype)
-    m_mask_per = jnp.where(voi[:, None], w_down[None, :], 0.0)
+    m_mask_per = jnp.where(voi[..., None], w_down[None, None, :], 0.0)
 
     # --- noise generation + pitch-sync windowing (877-897)
-    v_ns = jax.random.uniform(key, (ns_len_max,), dtype=dtype,
-                              minval=-1.0, maxval=1.0)
-    m_frm_ns, _, _, _ = framing.pitch_sync_frames(
+    v_ns = jax.vmap(lambda k: jax.random.uniform(
+        k, (ns_len_max,), dtype=dtype, minval=-1.0, maxval=1.0))(keys)
+    m_frm_ns, _, _, _ = framing.pitch_sync_frames_batch(
         v_ns, pm, nfrms, ns_len, fft_len,
         win_family=(VOI_NOISE if b_voi_ap_win else HANNING),
         voiced=voi, win_family_unvoiced=HANNING)
@@ -241,23 +242,23 @@ def synthesis_core(m_mag, m_real, m_imag, v_voi, pm, shifts, nfrms,
 
     # --- noise gain normalisation (899-906): sqrt(exp(mean(log|NS|_mid^2)))
     m_ns_mag = jnp.abs(m_ns_cmplx)
-    log2 = protected_log(m_ns_mag[:, 1:-1]) ** 2
+    log2 = protected_log(m_ns_mag[..., 1:-1]) ** 2
 
     def _masked_gain(mask):
-        cnt = jnp.maximum(jnp.sum(mask), 1) * (h - 2)
-        s = jnp.sum(jnp.where(mask[:, None], log2, 0.0))
+        cnt = jnp.maximum(jnp.sum(mask, axis=1), 1) * (h - 2)
+        s = jnp.sum(jnp.where(mask[..., None], log2, 0.0), axis=(1, 2))
         return jnp.sqrt(jnp.exp(s / cnt))
 
-    gain_voi = _masked_gain(voi)
-    gain_unv = _masked_gain(unv)
-    m_ns_cmplx = m_ns_cmplx / jnp.where(voi, gain_voi,
-                                        jnp.where(unv, gain_unv, 1.0))[:, None]
+    gain_voi = _masked_gain(voi)[:, None]
+    gain_unv = _masked_gain(unv)[:, None]
+    m_ns_cmplx = m_ns_cmplx / jnp.where(
+        voi, gain_voi, jnp.where(unv, gain_unv, 1.0))[..., None]
 
     # --- aperiodic spectrum (908-918)
     m_ap = m_ns_cmplx * m_mag
     v_line_unv = jnp.asarray(
         db(build_mel_curve(alpha, h, amp=3.5) - 3.5, b_inv=True), dtype)
-    m_ap = jnp.where(unv[:, None], m_ap * v_line_unv[None, :], m_ap)
+    m_ap = jnp.where(unv[..., None], m_ap * v_line_unv[None, None, :], m_ap)
 
     # --- periodic spectrum (920-941)
     if per_phase_type == "magphase":
@@ -268,12 +269,14 @@ def synthesis_core(m_mag, m_real, m_imag, v_voi, pm, shifts, nfrms,
     elif per_phase_type == "linear":
         m_per = m_mag.astype(m_ap.dtype)
     elif per_phase_type == "min_phase":
-        m_per = build_min_phase_from_mag_spec(m_mag)
+        m_per = build_min_phase_from_mag_spec(
+            m_mag.reshape(B * F, h)).reshape(B, F, h)
     else:
         raise ValueError(per_phase_type)
     v_line_voi = jnp.asarray(db(build_mel_curve(0.6, h, amp=2.0),
                                 b_inv=True), dtype)
-    m_per = jnp.where(voi[:, None], m_per * v_line_voi[None, :], m_per)
+    m_per = jnp.where(voi[..., None], m_per * v_line_voi[None, None, :],
+                      m_per)
 
     # --- apply masks with sqrt + zero protection (944-952)
     crsf_curve_fact = 0.5
@@ -284,18 +287,27 @@ def synthesis_core(m_mag, m_real, m_imag, v_voi, pm, shifts, nfrms,
 
     # --- sum + DC/Nyquist protection (954-961)
     m_syn = m_per + m_ap
-    m_syn = m_syn.at[:, 0].set(jnp.abs(m_syn[:, 0]) + 0j)
-    m_syn = m_syn.at[:, -1].set(jnp.abs(m_syn[:, -1]) + 0j)
+    m_syn = m_syn.at[..., 0].set(jnp.abs(m_syn[..., 0]) + 0j)
+    m_syn = m_syn.at[..., -1].set(jnp.abs(m_syn[..., -1]) + 0j)
 
     # --- to time domain (963-965)
     m_frm = jnp.fft.irfft(m_syn, n=fft_len)
-    m_frm = jnp.roll(m_frm, fft_len // 2, axis=1)
+    m_frm = jnp.roll(m_frm, fft_len // 2, axis=-1)
 
     # --- anti-ringing window (968-973)
-    m_frm = framing.apply_anti_ringing(m_frm, shifts, nfrms)
+    m_frm = jax.vmap(framing.apply_anti_ringing)(m_frm, shifts, nfrms)
 
     # --- PSOLA overlap-add (976)
-    return framing.ola_centered(m_frm, pm, nfrms, out_len_max)
+    return framing.ola_centered_batch(m_frm, pm, nfrms, out_len_max)
+
+
+def synthesis_core(m_mag, m_real, m_imag, v_voi, pm, shifts, nfrms,
+                   ns_len, key, **kw):
+    """Single-utterance wrapper over synthesis_core_batch."""
+    return synthesis_core_batch(
+        m_mag[None], m_real[None], m_imag[None], v_voi[None], pm[None],
+        shifts[None], jnp.asarray(nfrms)[None], jnp.asarray(ns_len)[None],
+        key[None], **kw)[0]
 
 
 _synthesis_core_kernel = functools.partial(

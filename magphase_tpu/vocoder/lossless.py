@@ -32,15 +32,16 @@ _f32 = jnp.float32
 # ---------------------------------------------------------------------------
 # jitted kernels
 
-@functools.partial(jax.jit, static_argnames=("fft_len", "fs"))
-def _analysis_kernel(sig, pm, nfrms, n_sig, voi, *, fft_len: int, fs: int):
-    """Pitch-sync windowing + delay compensation + rfft + lossless feats.
+def analysis_core_batch(sig, pm, nfrms, n_sig, voi, *, fft_len: int,
+                        fs: int):
+    """Batched pitch-sync windowing + delay compensation + rfft + lossless
+    feats.  sig (B,S), pm/voi (B,F), nfrms/n_sig (B,).
 
     Equivalent to analysis_with_del_comp_from_pm (magphase.py:266-334) +
     compute_lossless_feats (magphase.py:457-476).
-    Returns (mag, real, imag, f0, shift) padded to pm.shape[0] frames.
+    Returns (mag, real, imag, f0, shift) with (B, F, ...) shapes.
     """
-    frames, L, R, valid = framing.pitch_sync_frames(
+    frames, L, R, valid = framing.pitch_sync_frames_batch(
         sig, pm, nfrms, n_sig, fft_len, win_family=HANNING)
     spec = jnp.fft.rfft(frames)
 
@@ -56,21 +57,38 @@ def _analysis_kernel(sig, pm, nfrms, n_sig, voi, *, fft_len: int, fs: int):
     return m_mag, m_real, m_imag, v_f0, v_shift
 
 
-@functools.partial(jax.jit, static_argnames=("fft_len", "out_len_max"))
-def _synthesis_kernel(m_mag, m_real, m_imag, pm, nfrms, *, fft_len: int,
-                      out_len_max: int):
-    """Phasor -> irfft -> fftshift -> centred OLA
-    (magphase.py:1759-1776 + ola 34-62)."""
+def synthesis_core_batch(m_mag, m_real, m_imag, pm, nfrms, *, fft_len: int,
+                         out_len_max: int):
+    """Batched phasor -> irfft -> fftshift -> centred OLA
+    (magphase.py:1759-1776 + ola 34-62).  Inputs (B, F, H) / (B, F)."""
     m_ph = m_real + 1j * m_imag
     m_ph_mag = jnp.abs(m_ph)
     m_ph_mag = jnp.where(m_ph_mag == 0.0, 1.0, m_ph_mag)
     m_fft = m_mag * m_ph / m_ph_mag
     # reference's add_hermitian_half('complex') zeroes imag at DC/Nyquist
-    m_fft = m_fft.at[:, 0].set(m_fft[:, 0].real + 0j)
-    m_fft = m_fft.at[:, -1].set(m_fft[:, -1].real + 0j)
+    m_fft = m_fft.at[..., 0].set(m_fft[..., 0].real + 0j)
+    m_fft = m_fft.at[..., -1].set(m_fft[..., -1].real + 0j)
     m_frm = jnp.fft.irfft(m_fft, n=fft_len)
-    m_frm = jnp.roll(m_frm, fft_len // 2, axis=1)     # fftshift (even N)
-    return framing.ola_centered(m_frm, pm, nfrms, out_len_max)
+    m_frm = jnp.roll(m_frm, fft_len // 2, axis=-1)    # fftshift (even N)
+    return framing.ola_centered_batch(m_frm, pm, nfrms, out_len_max)
+
+
+@functools.partial(jax.jit, static_argnames=("fft_len", "fs"))
+def _analysis_kernel(sig, pm, nfrms, n_sig, voi, *, fft_len: int, fs: int):
+    """Single-utterance wrapper over analysis_core_batch."""
+    outs = analysis_core_batch(sig[None], pm[None], nfrms[None],
+                               n_sig[None], voi[None], fft_len=fft_len,
+                               fs=fs)
+    return tuple(o[0] for o in outs)
+
+
+@functools.partial(jax.jit, static_argnames=("fft_len", "out_len_max"))
+def _synthesis_kernel(m_mag, m_real, m_imag, pm, nfrms, *, fft_len: int,
+                      out_len_max: int):
+    """Single-utterance wrapper over synthesis_core_batch."""
+    return synthesis_core_batch(m_mag[None], m_real[None], m_imag[None],
+                                pm[None], nfrms[None], fft_len=fft_len,
+                                out_len_max=out_len_max)[0]
 
 
 # ---------------------------------------------------------------------------
