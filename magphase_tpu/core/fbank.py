@@ -116,3 +116,34 @@ def unwarp_from_fbank_curve(m_mel: jnp.ndarray, alpha: float,
     M = jnp.asarray(_unwarp_curve_matrix_np(alpha, nbins_total, max_bin,
                                             nbands, kind), m_mel.dtype)
     return mm(m_mel, M)
+
+
+@functools.lru_cache(maxsize=16)
+def _fbank_curve_matrix_np(alpha: float, nbins_total: int, max_bin: int,
+                           nbands: int) -> np.ndarray:
+    """Filter bank over a TRUNCATED warp curve: the phase-compression path
+    passes v_bins_mel = build_mel_curve(alpha, fft_len_half)[:bin_cf] into
+    apply_fbank (format_for_modelling_phase_comp, magphase.py:2588-2593)."""
+    v_bins_warp = mel_curve_np(alpha, nbins_total)[:max_bin]
+    v_cntrs_mel = np.linspace(0, v_bins_warp[-1], nbands)
+    f_interp = interpolate.interp1d(v_bins_warp, np.arange(max_bin),
+                                    kind="quadratic")
+    v_cntrs = np.round(f_interp(v_cntrs_mel)).astype(int)
+
+    m_fbank = np.zeros((max_bin, nbands))
+    v_ext = np.r_[v_cntrs[0], v_cntrs, v_cntrs[-1]]
+    for nxb in range(1, nbands + 1):
+        wl = v_ext[nxb] - v_ext[nxb - 1]
+        wr = v_ext[nxb + 1] - v_ext[nxb]
+        v_win = gen_non_symmetric_win_np(wl, wr, np.hanning, b_norm=True)
+        m_fbank[v_ext[nxb - 1]:v_ext[nxb - 1] + len(v_win), nxb - 1] = v_win
+    return m_fbank
+
+
+def apply_fbank_curve(m_data: jnp.ndarray, alpha: float, nbins_total: int,
+                      max_bin: int, nbands: int) -> jnp.ndarray:
+    """apply_fbank ('average' mode) over the first ``max_bin`` bins of the
+    full warp curve; input columns beyond max_bin are ignored."""
+    B = jnp.asarray(_fbank_curve_matrix_np(alpha, nbins_total, max_bin,
+                                           nbands), m_data.dtype)
+    return mm(m_data[:, :max_bin], B)

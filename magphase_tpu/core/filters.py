@@ -103,12 +103,34 @@ def butter_highpass_sos(order: int, fc_hz: float, fs: int):
     return tuple(map(tuple, sos.tolist()))
 
 
-def sosfilt(sos, x: jnp.ndarray) -> jnp.ndarray:
+@functools.lru_cache(maxsize=16)
+def _sos_impulse_response(sos, ntaps: int):
+    """Exact (float64, scipy) impulse response of the SOS cascade,
+    truncated to ``ntaps``."""
+    imp = np.zeros(ntaps)
+    imp[0] = 1.0
+    return sp_signal.sosfilt(np.asarray(sos, np.float64), imp)
+
+
+def sosfilt(sos, x: jnp.ndarray, ntaps: int = 16384) -> jnp.ndarray:
     """Cascaded-biquad IIR filter (scipy.signal.sosfilt semantics, zero
-    initial state) via per-section associative scans.  Each biquad's 2x2
-    companion products stay well-conditioned in float32, unlike the direct
-    4th-order form."""
-    y = x
-    for b0, b1, b2, a0, a1, a2 in sos:
-        y = lfilter((b0, b1, b2), (a0, a1, a2), y)
-    return y
+    initial state) as FFT convolution with the exact truncated impulse
+    response.
+
+    Associative-scan prefix products of biquad companion matrices are
+    catastrophically unstable in float32 when poles sit near the unit
+    circle (the 40 Hz/48 kHz high-pass of magphase.py:990-995 overflows
+    within ~2k samples), so the IIR is evaluated in its equivalent FIR
+    form instead: h is computed exactly in float64 host-side, and the
+    causal convolution runs as one rfft·irfft on device — fully parallel,
+    no scan.  For the vocoder's high-pass filters the truncation tail is
+    < 1e-12 of peak (pole radius ~0.996 -> |h| decays below 1e-30 well
+    before 16384 taps), far below PCM16 resolution."""
+    n = x.shape[0]
+    h = _sos_impulse_response(tuple(map(tuple, sos)), ntaps)
+    L = 1
+    while L < n + ntaps:
+        L <<= 1
+    X = jnp.fft.rfft(x, n=L)
+    H = jnp.fft.rfft(jnp.asarray(h, x.dtype), n=L)
+    return jnp.fft.irfft(X * H, n=L)[:n].astype(x.dtype)

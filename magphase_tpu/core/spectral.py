@@ -19,6 +19,14 @@ def protected_log(m_x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(jnp.isfinite(m_y), m_y, MAGIC)
 
 
+def protected_log_np(m_x: np.ndarray) -> np.ndarray:
+    """Host-side protected log (libaudio.py:241-248)."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        m_y = np.log(m_x)
+    m_y[~np.isfinite(m_y)] = MAGIC
+    return m_y
+
+
 def f0_to_lf0(v_f0: jnp.ndarray) -> jnp.ndarray:
     """log with MAGIC floor at f0==0 (libaudio.py:458-465)."""
     v_lf0 = jnp.log(jnp.maximum(v_f0, 1e-300))

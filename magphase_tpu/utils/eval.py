@@ -1,0 +1,67 @@
+"""Objective evaluation: mel-spectral distortion between waveforms.
+
+The reference's only extrinsic quality metric is Merlin's CALMCD
+(development/run_merlin_experiment.py:191), computed outside the repo.
+Here mel-spectral distortion (MSD, the MCD formula applied to log-mel
+spectra) is first-class and runs on device: constant-rate STFT -> mel
+filter bank -> frame-wise log-spectral RMS in dB.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import fbank
+from ..core.spectral import protected_log
+
+_DB = 10.0 / np.log(10.0) * np.sqrt(2.0)   # MCD constant
+
+
+@functools.partial(jax.jit, static_argnames=("fs", "n_mel", "win_ms",
+                                             "hop_ms", "fft_len", "alpha"))
+def _logmel_kernel(sig, *, fs: int, n_mel: int, win_ms: float, hop_ms: float,
+                   fft_len: int, alpha: float):
+    win_len = int(round(fs * win_ms / 1000.0))
+    hop = int(round(fs * hop_ms / 1000.0))
+    n_frames = 1 + (sig.shape[0] - win_len) // hop
+    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(win_len)[None, :]
+    frames = sig[idx] * jnp.hanning(win_len)[None, :]
+    spec = jnp.abs(jnp.fft.rfft(frames, n=fft_len))
+    m_mel = fbank.apply_fbank(spec, alpha, n_mel)
+    return protected_log(jnp.maximum(m_mel, 1e-10))
+
+
+def log_mel_spectrogram(v_sig, fs: int, n_mel: int = 60,
+                        win_ms: float = 25.0, hop_ms: float = 5.0,
+                        fft_len: int = 2048, alpha: float | None = None):
+    """Constant-rate log-mel spectrogram (numpy in/out, device compute)."""
+    from ..config import define_alpha
+    if alpha is None:
+        alpha = define_alpha(fs)
+    sig = jnp.asarray(np.asarray(v_sig, np.float32))
+    return np.asarray(jax.device_get(_logmel_kernel(
+        sig, fs=fs, n_mel=n_mel, win_ms=win_ms, hop_ms=hop_ms,
+        fft_len=fft_len, alpha=alpha)))
+
+
+def mel_spectral_distortion(v_sig_a, v_sig_b, fs: int, n_mel: int = 60,
+                            **kw) -> float:
+    """Mean frame-wise mel-spectral distortion in dB between two waveforms
+    (lower is better; identical signals -> 0).  Signals are truncated to
+    the common length."""
+    n = min(len(v_sig_a), len(v_sig_b))
+    ma = log_mel_spectrogram(v_sig_a[:n], fs, n_mel=n_mel, **kw)
+    mb = log_mel_spectrogram(v_sig_b[:n], fs, n_mel=n_mel, **kw)
+    d = ma - mb
+    return float(np.mean(_DB * np.sqrt(np.sum(d * d, axis=1))))
+
+
+def log_spectral_distortion_feats(m_log_a, m_log_b) -> float:
+    """MCD formula over two already-aligned log-feature matrices
+    (e.g. two .mag mel streams) — the compare_mags-style feature diff."""
+    n = min(len(m_log_a), len(m_log_b))
+    d = np.asarray(m_log_a)[:n] - np.asarray(m_log_b)[:n]
+    return float(np.mean(_DB * np.sqrt(np.sum(d * d, axis=1))))

@@ -7,9 +7,25 @@ from .compressed import (analysis_compressed, analysis_for_acoustic_modelling,
                          phase_uncompress_type1_mcep,
                          get_num_full_mel_coeffs_from_num_phase_coeffs)
 from .postfilter import post_filter, post_filter_merlin
+from .variants import (analysis_compressed_type1, analysis_compressed_type2,
+                       analysis_lossless_type2, compute_imag_from_real,
+                       phase_uncompress_type1, phase_uncompress_fbank,
+                       synthesis_from_compressed_type1,
+                       synthesis_from_compressed_type2)
+from .phase_comp import (analysis_compressed_type1_with_phase_comp,
+                         format_for_modelling_phase_comp,
+                         synthesis_from_compressed_type1_with_phase_comp)
+from .griffin_lim import griffin_lim
 from . import framerate
 
 __all__ = [
+    "analysis_compressed_type1", "analysis_compressed_type2",
+    "analysis_lossless_type2", "compute_imag_from_real",
+    "phase_uncompress_type1", "phase_uncompress_fbank",
+    "synthesis_from_compressed_type1", "synthesis_from_compressed_type2",
+    "analysis_compressed_type1_with_phase_comp",
+    "format_for_modelling_phase_comp",
+    "synthesis_from_compressed_type1_with_phase_comp", "griffin_lim",
     "analysis_lossless", "analysis_with_del_comp_from_pm",
     "synthesis_from_lossless", "f0_to_shift", "shift_to_pm", "pm_to_shift",
     "analysis_compressed", "analysis_for_acoustic_modelling",

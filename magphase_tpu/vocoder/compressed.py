@@ -60,13 +60,19 @@ def get_num_full_mel_coeffs_from_num_phase_coeffs(freq_hz: float,
 
 @functools.partial(jax.jit, static_argnames=("mag_dim", "phase_dim",
                                              "mag_dim_ph", "alpha",
-                                             "alpha_phase"))
+                                             "alpha_phase",
+                                             "b_mag_fbank_mel"))
 def _format_kernel(m_mag, m_real, m_imag, v_voi, *, mag_dim: int,
                    phase_dim: int, mag_dim_ph: int, alpha: float,
-                   alpha_phase: float):
+                   alpha_phase: float, b_mag_fbank_mel: bool = False):
     """Mel-compression of the three spectral streams
     (format_for_modelling, magphase.py:2503-2542)."""
-    m_mag_mel = melcep.sp_mel_warp(m_mag, mag_dim, alpha=alpha, in_type=3)
+    if b_mag_fbank_mel:   # magphase.py:2504-2505
+        from ..core import fbank
+        m_mag_mel = fbank.sp_mel_warp_fbank(m_mag, mag_dim, alpha=alpha)
+    else:
+        m_mag_mel = melcep.sp_mel_warp(m_mag, mag_dim, alpha=alpha,
+                                       in_type=3)
     m_mag_mel_log = protected_log(m_mag_mel)
 
     m_real_mel = melcep.sp_mel_warp(m_real, mag_dim_ph, alpha=alpha_phase,
@@ -80,6 +86,7 @@ def _format_kernel(m_mag, m_real, m_imag, v_voi, *, mag_dim: int,
 
 def format_for_modelling(m_mag, m_real, m_imag, v_f0, fs: int,
                          mag_dim: int = 60, phase_dim: int = 45,
+                         b_mag_fbank_mel: bool = False,
                          alpha_phase: float | None = None):
     """magphase.py:2490-2544.  numpy in/out; mel warps on device."""
     alpha = define_alpha(fs)
@@ -107,7 +114,8 @@ def format_for_modelling(m_mag, m_real, m_imag, v_f0, fs: int,
     mml, mrm, mim = _format_kernel(mag_d, real_d, imag_d, voi_d,
                                    mag_dim=mag_dim, phase_dim=phase_dim,
                                    mag_dim_ph=mag_dim_ph, alpha=alpha,
-                                   alpha_phase=alpha_phase)
+                                   alpha_phase=alpha_phase,
+                                   b_mag_fbank_mel=b_mag_fbank_mel)
     mml, mrm, mim = jax.device_get((mml, mrm, mim))
     return (mml[:nfrms].astype(np.float64), mrm[:nfrms].astype(np.float64),
             mim[:nfrms].astype(np.float64), v_lf0_smth)

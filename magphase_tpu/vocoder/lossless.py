@@ -82,6 +82,69 @@ def _analysis_kernel(sig, pm, nfrms, n_sig, voi, *, fft_len: int, fs: int):
     return tuple(o[0] for o in outs)
 
 
+@functools.partial(jax.jit, static_argnames=("fft_len", "fs"))
+def _analysis_type2_kernel(sig, pm, nfrms, n_sig, voi, *, fft_len: int,
+                           fs: int):
+    """analysis_with_del_comp_from_pm_type2 (magphase.py:182-260): the
+    standard analysis plus a per-frame gain — voiced: max |first half of the
+    delay-compensated frame| (244-246); unvoiced: std over the windowed
+    ragged frame (247-249, computed from padded-frame sums, zero padding
+    contributes nothing)."""
+    frames, L, R, valid = framing.pitch_sync_frames_batch(
+        sig[None], pm[None], nfrms[None], n_sig[None], fft_len,
+        win_family=HANNING)
+    frames, L, R, valid = frames[0], L[0], R[0], valid[0]
+    h = fft_len // 2 + 1
+    spec = jnp.fft.rfft(frames)
+
+    m_mag = jnp.abs(spec)
+    m_div = jnp.where(m_mag == 0.0, 1.0, m_mag)
+    m_real = jnp.where(m_mag == 0.0, 0.0, spec.real / m_div)
+    m_imag = jnp.where(m_mag == 0.0, 0.0, spec.imag / m_div)
+
+    gain_voi = jnp.max(jnp.abs(frames[:, :h]), axis=1)
+    n = jnp.maximum(L + R + 1, 1).astype(frames.dtype)
+    s1 = jnp.sum(frames, axis=1)
+    s2 = jnp.sum(frames ** 2, axis=1)
+    var = jnp.maximum(s2 / n - (s1 / n) ** 2, 0.0)
+    v_gain = jnp.where(voi > 0, gain_voi, jnp.sqrt(var))
+    v_gain = jnp.where(valid, v_gain, 0.0)
+    return m_mag, m_real, m_imag, L, v_gain
+
+
+def analysis_with_del_comp_from_pm_type2(v_in_sig: np.ndarray, fs: int,
+                                         v_pm_smpls: np.ndarray,
+                                         v_voi: np.ndarray,
+                                         fft_len: int | None = None):
+    """magphase.py:182-260 (nwin_per_pitch_period=0.5, the original design).
+
+    Returns (m_mag, m_real, m_imag, v_f0, v_shift, v_gain) as numpy.
+    """
+    cfg = MagPhaseConfig(fs=fs) if fft_len is None else \
+        MagPhaseConfig(fs=fs, fft_len=fft_len)
+    fft_len = cfg.fft_len
+
+    pm = np.asarray(np.round(v_pm_smpls), dtype=np.int64)
+    nfrms = pm.shape[0]
+    n_sig = v_in_sig.shape[0]
+    F = bucket(nfrms, FRM_STEP)
+    S = bucket(n_sig, SIG_STEP)
+
+    mag, real, imag, shift, gain = _analysis_type2_kernel(
+        jnp.asarray(pad_to(np.asarray(v_in_sig, np.float32), S)),
+        jnp.asarray(pad_to(pm.astype(np.int32), F)),
+        jnp.int32(nfrms), jnp.int32(n_sig),
+        jnp.asarray(pad_to(np.asarray(v_voi, np.float32), F)),
+        fft_len=fft_len, fs=fs)
+    mag, real, imag, shift, gain = jax.device_get(
+        (mag, real, imag, shift, gain))
+    shift = shift[:nfrms].astype(np.int64)
+    v_f0 = np.asarray(v_voi, np.float64)[:nfrms] * fs / shift.astype(np.float64)
+    return (mag[:nfrms].astype(np.float64), real[:nfrms].astype(np.float64),
+            imag[:nfrms].astype(np.float64), v_f0, shift,
+            gain[:nfrms].astype(np.float64))
+
+
 @functools.partial(jax.jit, static_argnames=("fft_len", "out_len_max"))
 def _synthesis_kernel(m_mag, m_real, m_imag, pm, nfrms, *, fft_len: int,
                       out_len_max: int):

@@ -222,20 +222,22 @@ def _legacy_noise_synthesis(m_mag, m_real, m_imag, v_voi, v_shift, fs,
                         jnp.asarray(pad_to(
                             np.asarray(v_voi, np.float32), F)),
                         jnp.asarray(pad_to(v_pm.astype(np.int32), F)),
+                        jnp.asarray(pad_to(v_shift_i.astype(np.int32), F)),
                         jnp.int32(nfrms), jnp.int32(ns_len), key,
                         fs=fs, fft_len=fft_len, alpha=alpha,
                         b_voi_ap_win=b_voi_ap_win,
                         per_phase_type=per_phase_type, out_len_max=O,
-                        ns_len_max=NS)
+                        ns_len_max=NS, anti_ringing=anti_ringing)
     return np.asarray(jax.device_get(buf)[:out_len], np.float64)
 
 
 @functools.partial(
     jax.jit, static_argnames=("fs", "fft_len", "alpha", "b_voi_ap_win",
-                              "per_phase_type", "out_len_max", "ns_len_max"))
-def _type1_kernel(m_mag, m_real, m_imag, v_voi, pm, nfrms, ns_len, key, *,
-                  fs, fft_len, alpha, b_voi_ap_win, per_phase_type,
-                  out_len_max, ns_len_max):
+                              "per_phase_type", "out_len_max", "ns_len_max",
+                              "anti_ringing"))
+def _type1_kernel(m_mag, m_real, m_imag, v_voi, pm, shifts, nfrms, ns_len,
+                  key, *, fs, fft_len, alpha, b_voi_ap_win, per_phase_type,
+                  out_len_max, ns_len_max, anti_ringing=False):
     h = fft_len // 2 + 1
     dtype = m_mag.dtype
     F = pm.shape[0]
@@ -296,6 +298,8 @@ def _type1_kernel(m_mag, m_real, m_imag, v_voi, pm, nfrms, ns_len, key, *,
     m_syn = m_syn.at[:, -1].set(m_syn[:, -1].real + 0j)
     m_frm = jnp.fft.irfft(m_syn, n=fft_len)
     m_frm = jnp.roll(m_frm, fft_len // 2, axis=1)
+    if anti_ringing:   # phase-comp variant (magphase.py:1168-1173)
+        m_frm = framing.apply_anti_ringing(m_frm, shifts, nfrms)
     return framing.ola_centered_batch(m_frm[None], pm[None], nfrms[None],
                                       out_len_max)[0]
 
@@ -410,9 +414,89 @@ def analysis_lossless_type2(wav_file: str, fft_len: int | None = None,
         jnp.asarray(m_mag_long, jnp.float32), in_type="abs", ncoeffs=600,
         thres_db=0.1))
 
-    # phase analysis on the full mark set (2834-2839)
-    mag, real, imag, f0, shift = lossless.analysis_with_del_comp_from_pm(
-        v_sig, fs, v_pm, voi, fft_len=fft_len)
-    return (m_mag_env, real[1:], imag[1:], f0[1:], fs,
-            np.diff(np.round(v_pm[1:]).astype(np.int64),
-                    prepend=np.round(v_pm[1]).astype(np.int64) * 0))
+    # phase analysis on the full mark set, type2: with per-frame gain
+    # (magphase.py:2834-2839)
+    mag, real, imag, f0, shift_ph, v_gain = \
+        lossless.analysis_with_del_comp_from_pm_type2(
+            v_sig, fs, v_pm, voi, fft_len=fft_len)
+    # v_shift = la.pm_to_shift(v_pm_smpls[1:]) (magphase.py:2818)
+    v_shift = np.diff(np.hstack((0.0, v_pm[1:])))
+    return (m_mag_env, real[1:], imag[1:], f0[1:], fs, v_shift,
+            v_gain[1:])
+
+
+def analysis_compressed_type2(wav_file: str, fft_len: int | None = None,
+                              out_dir: str | None = None, mag_dim: int = 60,
+                              phase_dim: int = 45, b_norm_mag: bool = False,
+                              const_rate_ms: float = -1.0, **kw):
+    """magphase.py:3123-3196: type2 analysis (true-envelope mag + per-frame
+    gain), optional const-rate resampling, format_for_modelling, log-gain
+    stream; b_norm_mag folds the per-frame mean of the log-mel magnitude
+    into coefficient 0 (3177-3181)."""
+    from .compressed import format_for_modelling
+    from ..core.spectral import protected_log_np
+
+    (m_mag, m_real, m_imag, v_f0, fs, v_shift,
+     v_gain) = analysis_lossless_type2(wav_file, fft_len=fft_len, **kw)
+
+    if const_rate_ms > 0.0:   # 3129-3141
+        v_pm_smpls = np.cumsum(v_shift)
+        m_mag = framerate.interp_from_variable_to_const_frm_rate(
+            m_mag, v_pm_smpls, const_rate_ms, fs)
+        m_real = framerate.interp_from_variable_to_const_frm_rate(
+            m_real, v_pm_smpls, const_rate_ms, fs)
+        m_imag = framerate.interp_from_variable_to_const_frm_rate(
+            m_imag, v_pm_smpls, const_rate_ms, fs)
+        v_gain = np.asarray(framerate.interp_from_variable_to_const_frm_rate(
+            v_gain, v_pm_smpls, const_rate_ms, fs)).squeeze()
+        from .phase_comp import _interp_f0_const_rate
+        v_f0, _ = _interp_f0_const_rate(v_f0, v_pm_smpls, const_rate_ms, fs)
+
+    mml, mrm, mim, v_lf0 = format_for_modelling(
+        m_mag, m_real, m_imag, v_f0, fs, mag_dim=mag_dim,
+        phase_dim=phase_dim)
+    fft_len_out = 2 * (m_mag.shape[1] - 1)
+    v_lgain = protected_log_np(np.asarray(v_gain, np.float64))
+
+    if b_norm_mag:   # 3177-3181
+        v_mean = np.mean(mml[:, 1:], axis=1)
+        mml = mml - v_mean[:, None]
+        v_lgain = v_mean
+        mml[:, 0] = v_lgain
+
+    if isinstance(out_dir, str):   # 3184-3194
+        import os
+        from ..io.featfile import write_featfile
+        file_id = os.path.basename(wav_file).split(".")[0]
+        write_featfile(mml, out_dir, file_id + ".mag")
+        write_featfile(mrm, out_dir, file_id + ".real")
+        write_featfile(mim, out_dir, file_id + ".imag")
+        write_featfile(v_lf0, out_dir, file_id + ".lf0")
+        if const_rate_ms <= 0.0:
+            write_featfile(v_shift, out_dir, file_id + ".shift")
+        return None
+    return mml, mrm, mim, v_lf0, v_shift, fs, fft_len_out, v_lgain
+
+
+def compute_imag_from_real(start_sign: float, v_real) -> np.ndarray:
+    """magphase.py:3094-3120 (experimental, unfinished in the reference):
+    reconstruct the imag phase stream from real by choosing, per bin, the
+    sign of sqrt(1-real^2) whose first difference best continues the
+    previous one.  Sequential recurrence -> lax.scan."""
+    v_real = jnp.asarray(v_real, jnp.float32)
+    nbins = v_real.shape[0]
+    v_mag = jnp.sqrt(jnp.maximum(1.0 - v_real ** 2, 0.0))
+    i1 = start_sign * v_mag[1]
+
+    def step(carry, mag_b):
+        prev, prev2 = carry
+        prev_diff = prev - prev2
+        d_pos = mag_b - prev
+        d_neg = -mag_b - prev
+        take_pos = jnp.abs(d_pos - prev_diff) <= jnp.abs(d_neg - prev_diff)
+        cur = jnp.where(take_pos, mag_b, -mag_b)
+        return (cur, prev), cur
+
+    _, tail = jax.lax.scan(step, (i1, jnp.float32(0.0)), v_mag[2:nbins])
+    out = jnp.concatenate([jnp.zeros(1, jnp.float32), i1[None], tail])
+    return np.asarray(jax.device_get(out), np.float64)
