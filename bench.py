@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 PRED_DIR = "/root/reference/demos/data_48k/params_predicted"
 TOKENS = ["hvd_704", "hvd_705", "hvd_706", "hvd_708"]
 FS = 48000
-BATCH = 32
+BATCH = 128
 ITERS = 8
 PER_CHIP_TARGET = 5000.0 / 16.0
 

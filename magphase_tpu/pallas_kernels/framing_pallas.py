@@ -97,6 +97,32 @@ def _frames_kernel(pm_ref, L_ref, R_ref, voi_ref, nfrms_ref, sig_ref,
         out_ref[:, j, :] = jnp.where(in_frame, rotated * win, 0.0)
 
 
+def _chunked_over_batch(call, b_max: int, *arrays):
+    """Run ``call`` (a function of same-leading-B arrays) over batch chunks
+    of at most ``b_max`` rows via lax.map.
+
+    Scalar-prefetch operands live whole in SMEM (1 MB on v5e), so a
+    (B, F) geometry tensor must stay bounded regardless of batch size;
+    chunking the batch keeps each pallas_call's SMEM footprint constant.
+    Padding rows carry nfrms=0 (all arrays zero-padded), which both
+    kernels treat as fully invalid.
+    """
+    B = arrays[0].shape[0]
+    if B <= b_max:
+        return call(*arrays)
+    n_chunks = -(-B // b_max)
+    Bp = n_chunks * b_max
+
+    def padr(a):
+        pad = Bp - a.shape[0]
+        a = jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+        return a.reshape((n_chunks, b_max) + a.shape[1:])
+
+    out = jax.lax.map(lambda xs: call(*xs), tuple(padr(a) for a in arrays))
+    return out.reshape((Bp,) + out.shape[2:])[:B]
+
+
 @functools.partial(jax.jit, static_argnames=("fft_len", "fam_voiced",
                                              "fam_unvoiced"))
 def frames_pallas(sigx, pm, L, R, voi, nfrms, *, fft_len: int,
@@ -107,6 +133,17 @@ def frames_pallas(sigx, pm, L, R, voi, nfrms, *, fft_len: int,
     ``pad_signal``).  pm/L/R: (B, F) int32; voi: (B, F) float32;
     nfrms: (B,) int32.  Returns (B, F, fft_len) float32.
     """
+    B, F = pm.shape
+    # 4 (b, F) scalar-prefetch operands x 4 bytes each; keep under ~512 KB
+    b_max = max(1, (1 << 15) // F)
+    return _chunked_over_batch(
+        functools.partial(_frames_pallas_call, fft_len=fft_len,
+                          fam_voiced=fam_voiced, fam_unvoiced=fam_unvoiced),
+        b_max, sigx, pm, L, R, voi, nfrms)
+
+
+def _frames_pallas_call(sigx, pm, L, R, voi, nfrms, *, fft_len: int,
+                        fam_voiced: int, fam_unvoiced: int):
     B, F = pm.shape
     assert F % TILE_F == 0
     Sx = sigx.shape[1]
@@ -187,6 +224,17 @@ def ola_pallas(frames, starts, nfrms, *, fft_len: int, out_len_pad: int):
     starts must be >= 0 and <= out_len_pad - 2*fft_len.
     Returns (B, out_len_pad) float32.
     """
+    B, F, N = frames.shape
+    # one (b, F) scalar-prefetch operand; keep under ~512 KB
+    b_max = max(1, (1 << 17) // F)
+    return _chunked_over_batch(
+        functools.partial(_ola_pallas_call, fft_len=fft_len,
+                          out_len_pad=out_len_pad),
+        b_max, frames, starts, nfrms)
+
+
+def _ola_pallas_call(frames, starts, nfrms, *, fft_len: int,
+                     out_len_pad: int):
     B, F, N = frames.shape
     assert F % TILE_F == 0
     assert out_len_pad % LANE == 0

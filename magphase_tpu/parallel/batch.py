@@ -5,6 +5,15 @@ This replaces the reference's multiprocessing.Pool fan-out
 padded into dense (B, frames, ...) tensors, every kernel is vmapped over the
 batch axis, and the batch axis is sharded over devices — one jit, zero
 cross-device communication inside the pipeline.
+
+Performance notes: at batch 32 the device pipeline is far from saturated,
+so throughput is bounded by host-side batch assembly and dispatch.  The
+host path therefore avoids per-array np.pad (preallocated (B, F, d)
+buffers with row assignment), packs the three feature streams into ONE
+(B, F, mag+2*phase) tensor (one transfer), derives the shift/pitch-mark
+geometry with vectorised numpy over the whole batch, and runs post-filter
++ mel-unwarp + synthesis + high-pass as a single fused jit (one dispatch
+per batch).
 """
 from __future__ import annotations
 
@@ -16,28 +25,47 @@ import numpy as np
 
 from ..config import define_alpha, define_crossfade_params, define_fft_len
 from ..core.filters import butter_highpass_sos, sosfilt
-from ..utils.padding import FRM_STEP, SIG_STEP, bucket, pad_to
-from ..vocoder import framerate
+from ..utils.padding import FRM_STEP, SIG_STEP, bucket
 from ..vocoder.compressed import (
     _unwarp_kernel, get_num_full_mel_coeffs_from_num_phase_coeffs,
     synthesis_core_batch)
-from ..vocoder.postfilter import post_filter
-from .mesh import batch_sharding, data_mesh, shard_batch
+from ..vocoder.postfilter import post_filter, post_filter_merlin
+from .mesh import shard_batch
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("fs", "fft_len", "alpha", "b_voi_ap_win",
+    static_argnames=("fs", "fft_len", "alpha", "alpha_phase", "mag_dim",
+                     "phase_dim", "mag_dim_ph", "b_voi_ap_win",
                      "per_phase_type", "out_len_max", "ns_len_max",
-                     "b_out_hpf"))
-def _batch_synthesis_core(m_mag, m_real, m_imag, v_voi, pm, shifts, nfrms,
-                          ns_len, keys, *, fs, fft_len, alpha, b_voi_ap_win,
-                          per_phase_type, out_len_max, ns_len_max,
-                          b_out_hpf):
-    """Batched synthesis core (Pallas framing/OLA on TPU), plus the output
-    high-pass as a cascaded-biquad scan (magphase.py:990-995)."""
+                     "b_out_hpf", "pf_type"))
+def _fused_batch_kernel(feats, voi, pm, shifts, nfrms, ns_len, key, *,
+                        fs, fft_len, alpha, alpha_phase, mag_dim, phase_dim,
+                        mag_dim_ph, b_voi_ap_win, per_phase_type,
+                        out_len_max, ns_len_max, b_out_hpf, pf_type):
+    """One dispatch for the whole batch: [post-filter] -> mel-unwarp ->
+    synthesis core (Pallas framing/OLA on TPU) -> [40 Hz high-pass]
+    (magphase.py:825-997 + 3259-3268 batched)."""
+    B, F, _D = feats.shape
+    h = fft_len // 2 + 1
+    mag_mel = feats[..., :mag_dim].reshape(B * F, mag_dim)
+    real_mel = feats[..., mag_dim:mag_dim + phase_dim].reshape(B * F,
+                                                              phase_dim)
+    imag_mel = feats[..., mag_dim + phase_dim:].reshape(B * F, phase_dim)
+
+    if pf_type == "magphase":
+        mag_mel = post_filter(mag_mel, fs)
+    elif pf_type == "merlin":
+        mag_mel = post_filter_merlin(mag_mel, fs)
+
+    m_mag, m_real, m_imag = _unwarp_kernel(
+        mag_mel, real_mel, imag_mel, fft_len=fft_len,
+        mag_dim_ph=mag_dim_ph, alpha=alpha, alpha_phase=alpha_phase)
+
+    keys = jax.random.split(key, B)
     bufs = synthesis_core_batch(
-        m_mag, m_real, m_imag, v_voi, pm, shifts, nfrms, ns_len, keys,
+        m_mag.reshape(B, F, h), m_real.reshape(B, F, h),
+        m_imag.reshape(B, F, h), voi, pm, shifts, nfrms, ns_len, keys,
         fs=fs, fft_len=fft_len, alpha=alpha, b_voi_ap_win=b_voi_ap_win,
         per_phase_type=per_phase_type, out_len_max=out_len_max,
         ns_len_max=ns_len_max)
@@ -71,78 +99,55 @@ def synthesis_from_compressed_batch(utts, fs: int,
         key = jax.random.PRNGKey(0)
 
     B = len(utts)
-    mag_dim = utts[0][0].shape[1]
+    mag_dim = np.atleast_2d(utts[0][0]).shape[1]
     phase_dim = np.atleast_2d(utts[0][1]).shape[1]
     mag_dim_ph = get_num_full_mel_coeffs_from_num_phase_coeffs(
         define_crossfade_params(fs)[0], phase_dim, alpha_phase, fs)
 
-    # host-side per-utterance framing math (float64 parity)
-    frames_n, pms, shifts_i, vois, ns_lens, out_lens = [], [], [], [], [], []
-    for (mag, real, imag, lf0) in utts:
-        v_f0 = np.exp(np.asarray(lf0, np.float64))
-        v_voi = v_f0 > 1.0
-        v_shift = framerate.f0_to_shift_np(v_f0, fs).astype(np.int64)
-        v_pm = np.cumsum(v_shift)
-        frames_n.append(len(v_shift))
-        pms.append(v_pm)
-        shifts_i.append(v_shift)
-        vois.append(v_voi)
-        ns_lens.append(int(v_pm[-1] + (v_pm[-1] - v_pm[-2])))
-        out_lens.append(int(v_pm[-1] + (v_pm[-1] - v_pm[-2]) + 1))
+    nfrms = np.asarray([np.atleast_1d(np.squeeze(u[3])).shape[0]
+                        for u in utts], np.int64)
+    F = bucket(int(nfrms.max()), FRM_STEP)
+    D = mag_dim + 2 * phase_dim
 
-    F = bucket(max(frames_n), FRM_STEP)
-    O = bucket(max(out_lens), SIG_STEP)
-    NS = bucket(max(ns_lens), SIG_STEP)
+    # one preallocated feature tensor + MAGIC-padded lf0 (no per-array pad)
+    feats = np.zeros((B, F, D), np.float32)
+    lf0_b = np.full((B, F), -1.0e10)
+    for b, (mag, real, imag, lf0) in enumerate(utts):
+        n = nfrms[b]
+        feats[b, :n, :mag_dim] = np.atleast_2d(mag)
+        feats[b, :n, mag_dim:mag_dim + phase_dim] = np.atleast_2d(real)
+        feats[b, :n, mag_dim + phase_dim:] = np.atleast_2d(imag)
+        lf0_b[b, :n] = np.squeeze(np.asarray(lf0, np.float64))
 
-    def stack(seq, n, dtype):
-        return np.stack([pad_to(np.asarray(s, dtype), n) for s in seq])
+    # vectorised framing math (float64 parity with f0_to_shift_np:
+    # f0==0 -> 200 Hz i.e. the 5 ms unvoiced rate, magphase.py:2210-2215)
+    v_f0 = np.exp(lf0_b)
+    voi_b = v_f0 > 1.0
+    shifts_b = (fs / np.where(v_f0 == 0.0, 200.0, v_f0)).astype(np.int64)
+    pm_b = np.cumsum(shifts_b, axis=1)
+    rows = np.arange(B)
+    last = pm_b[rows, nfrms - 1]
+    prev = pm_b[rows, np.maximum(nfrms - 2, 0)]
+    ns_lens = last + (last - prev)
+    out_lens = (ns_lens + 1).tolist()
+    O = bucket(int(max(out_lens)), SIG_STEP)
+    NS = bucket(int(ns_lens.max()), SIG_STEP)
 
-    mag_in = stack([u[0] for u in utts], F, np.float32)
-    real_in = stack([np.atleast_2d(u[1]) for u in utts], F, np.float32)
-    imag_in = stack([np.atleast_2d(u[2]) for u in utts], F, np.float32)
-
-    if pf_type in ("magphase", "merlin"):
-        # both post-filters are per-frame maps, so flattening (B,F,d) ->
-        # (B*F,d) is exact (padding rows are filtered too, then ignored)
-        from ..vocoder.postfilter import post_filter_merlin
-        bf, fr, dd = mag_in.shape
-        flat = jnp.asarray(mag_in.reshape(bf * fr, dd))
-        if pf_type == "magphase":
-            flat = post_filter(flat, fs)
-        else:
-            flat = post_filter_merlin(flat, fs)
-        mag_in = np.asarray(flat).reshape(bf, fr, dd)
-
-    # unwarp is frame-independent: flatten (B, F, d) -> (B*F, d)
-    m_mag_d, m_real_d, m_imag_d = _unwarp_kernel(
-        jnp.asarray(mag_in.reshape(B * F, -1)),
-        jnp.asarray(real_in.reshape(B * F, -1)),
-        jnp.asarray(imag_in.reshape(B * F, -1)),
-        fft_len=fft_len, mag_dim_ph=mag_dim_ph, alpha=alpha,
-        alpha_phase=alpha_phase)
-    h = fft_len // 2 + 1
-    m_mag_b = m_mag_d.reshape(B, F, h)
-    m_real_b = m_real_d.reshape(B, F, h)
-    m_imag_b = m_imag_d.reshape(B, F, h)
-
-    voi_b = jnp.asarray(stack(vois, F, np.float32))
-    pm_b = jnp.asarray(stack(pms, F, np.int32))
-    shift_b = jnp.asarray(stack(shifts_i, F, np.int32))
-    nfrms_b = jnp.asarray(np.asarray(frames_n, np.int32))
-    ns_len_b = jnp.asarray(np.asarray(ns_lens, np.int32))
-    keys = jax.random.split(key, B)
-
+    args = (jnp.asarray(feats),
+            jnp.asarray(voi_b.astype(np.float32)),
+            jnp.asarray(pm_b.astype(np.int32)),
+            jnp.asarray(shifts_b.astype(np.int32)),
+            jnp.asarray(nfrms.astype(np.int32)),
+            jnp.asarray(ns_lens.astype(np.int32)))
     if mesh is not None:
-        (m_mag_b, m_real_b, m_imag_b, voi_b, pm_b, shift_b, nfrms_b,
-         ns_len_b, keys) = shard_batch(
-            mesh, m_mag_b, m_real_b, m_imag_b, voi_b, pm_b, shift_b,
-            nfrms_b, ns_len_b, keys)
+        args = shard_batch(mesh, *args)
 
-    bufs = _batch_synthesis_core(
-        m_mag_b, m_real_b, m_imag_b, voi_b, pm_b, shift_b, nfrms_b,
-        ns_len_b, keys, fs=fs, fft_len=fft_len, alpha=alpha,
-        b_voi_ap_win=b_voi_ap_win, per_phase_type=per_phase_type,
-        out_len_max=O, ns_len_max=NS, b_out_hpf=b_out_hpf)
+    bufs = _fused_batch_kernel(
+        *args, key, fs=fs, fft_len=fft_len, alpha=alpha,
+        alpha_phase=alpha_phase, mag_dim=mag_dim, phase_dim=phase_dim,
+        mag_dim_ph=mag_dim_ph, b_voi_ap_win=b_voi_ap_win,
+        per_phase_type=per_phase_type, out_len_max=O, ns_len_max=NS,
+        b_out_hpf=b_out_hpf, pf_type=pf_type)
 
     if not block_result:
         return bufs, out_lens
