@@ -74,6 +74,16 @@ def track_f0_batch(signals: list, fs: int):
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("fft_len", "fs"))
+def _analysis_batch_jit(sigs, pm, nfrms, n_sig, voi, *, fft_len: int,
+                        fs: int):
+    # module-level jit: a per-call jax.jit(partial(...)) would recompile
+    # on every invocation (the partial is a fresh callable each time)
+    from ..vocoder.lossless import analysis_core_batch
+    return analysis_core_batch(sigs, pm, nfrms, n_sig, voi,
+                               fft_len=fft_len, fs=fs)
+
+
 def analysis_lossless_batch(signals: list, fs: int,
                             fft_len: int | None = None,
                             epochs: list | None = None):
@@ -108,10 +118,8 @@ def analysis_lossless_batch(signals: list, fs: int,
     nfrms_d = jnp.asarray(np.asarray(nfrms, np.int32))
     nsig_d = jnp.asarray(np.asarray([len(s) for s in signals], np.int32))
 
-    from ..vocoder.lossless import analysis_core_batch
-    kern = jax.jit(functools.partial(analysis_core_batch, fft_len=fft_len,
-                                     fs=fs))
-    mag, real, imag, _f0, shift = kern(sigs_d, pm_d, nfrms_d, nsig_d, voi_d)
+    mag, real, imag, _f0, shift = _analysis_batch_jit(
+        sigs_d, pm_d, nfrms_d, nsig_d, voi_d, fft_len=fft_len, fs=fs)
     mag, real, imag, shift = jax.device_get((mag, real, imag, shift))
 
     out = []
