@@ -162,3 +162,46 @@ def get_ap_mask_from_uv_decision(v_voi, nFFT: int, fs: int, mvf: float,
     half = nFFT // 2 + 1
     return jnp.concatenate(
         [m, jnp.ones((v_voi.shape[0], half - mvf_bin), m.dtype)], axis=1)
+
+
+def estim_ap_mask_from_ph_data(m_mask_ref, nFFT: int, fs: int, mvf: float):
+    """Legacy aperiodicity mask estimated from phase-feature RMS
+    (magphase.py:2000-2027): per-frame dB RMS clipped to [-28.1, -10.3],
+    normalised, faded over 40 bins below the maximum voiced frequency."""
+    clip_lo, clip_hi = -28.1, -10.3
+    fade_len = 40
+    m_ref = jnp.asarray(m_mask_ref)
+    v_db = 20.0 * jnp.log10(jnp.sqrt(jnp.mean(m_ref ** 2, axis=1)))
+    v_ap = -jnp.clip(v_db, clip_lo, clip_hi)
+    v_ap = (v_ap + clip_hi) / float(clip_hi - clip_lo)
+
+    mvf_bin = int(np.round(mvf * nFFT / float(fs)))
+    m = jnp.tile(v_ap[:, None], (1, mvf_bin))
+    ramp = jnp.asarray(np.linspace(1, 0, fade_len))
+    m = 1.0 - m
+    m = m.at[:, -fade_len:].mul(ramp[None, :])
+    m = 1.0 - m
+    half = nFFT // 2 + 1
+    return jnp.concatenate(
+        [m, jnp.ones((m_ref.shape[0], half - mvf_bin), m.dtype)], axis=1)
+
+
+def gen_mask_simple(v_voi, nbins: int, cutoff_bin: int):
+    """1=deterministic, 0=stochastic (libaudio.py:39-45)."""
+    m = jnp.tile(jnp.asarray(v_voi)[:, None], (1, nbins))
+    return m.at[:, cutoff_bin:].set(0.0)
+
+
+def mix_by_mask(m_data_a, m_data_b, m_mask):
+    """mask-weighted mix: 1 -> a, 0 -> b (libaudio.py:49-57)."""
+    m_mask = jnp.asarray(m_mask)
+    return m_mask * jnp.asarray(m_data_a) + (1 - m_mask) * jnp.asarray(m_data_b)
+
+
+def frame_shift(v_frm, shift: int, out_len: int) -> np.ndarray:
+    """Place a frame at offset ``shift`` in a zero buffer
+    (libaudio.py:137-140)."""
+    v_frm = np.asarray(v_frm)
+    out = np.zeros(out_len, v_frm.dtype)
+    out[shift:shift + len(v_frm)] = v_frm
+    return out
