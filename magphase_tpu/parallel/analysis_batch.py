@@ -86,11 +86,13 @@ def _analysis_batch_jit(sigs, pm, nfrms, n_sig, voi, *, fft_len: int,
 
 def analysis_lossless_batch(signals: list, fs: int,
                             fft_len: int | None = None,
-                            epochs: list | None = None):
+                            epochs: list | None = None,
+                            mesh=None):
     """Batched lossless analysis.  Returns list of
     (m_mag, m_real, m_imag, v_f0, v_shift) float32/int numpy tuples.
 
     ``epochs``: optional list of (pm_sec, voi) overriding the tracker.
+    ``mesh``: optional 1-D data mesh; the batch axis is sharded over it.
     """
     if fft_len is None:
         fft_len = define_fft_len(fs)
@@ -117,6 +119,10 @@ def analysis_lossless_batch(signals: list, fs: int,
         [pad_to(v.astype(np.float32), F) for v in vois]))
     nfrms_d = jnp.asarray(np.asarray(nfrms, np.int32))
     nsig_d = jnp.asarray(np.asarray([len(s) for s in signals], np.int32))
+
+    if mesh is not None:
+        sigs_d, pm_d, nfrms_d, nsig_d, voi_d = shard_batch(
+            mesh, sigs_d, pm_d, nfrms_d, nsig_d, voi_d)
 
     mag, real, imag, _f0, shift = _analysis_batch_jit(
         sigs_d, pm_d, nfrms_d, nsig_d, voi_d, fft_len=fft_len, fs=fs)

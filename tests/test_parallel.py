@@ -51,3 +51,26 @@ def test_batch_sharded_over_mesh():
     # per utterance, so repeated utterances must still produce finite audio
     # of identical length
     assert outs[0].shape == outs[4].shape
+
+
+def test_dryrun_multichip_8_devices():
+    """The driver's multi-chip dry run must pass on the virtual mesh."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
+
+
+def test_analysis_batch_sharded_over_mesh():
+    from magphase_tpu.parallel import data_mesh
+    from magphase_tpu.parallel.analysis_batch import analysis_lossless_batch
+    rng = np.random.RandomState(0)
+    mesh = data_mesh()
+    sigs = [rng.randn(4096) * 0.1 for _ in range(8)]
+    epochs = [(np.cumsum(rng.randint(100, 200, 10)) / 48000.0,
+               (rng.rand(10) > 0.5).astype(np.float64)) for _ in range(8)]
+    ref = analysis_lossless_batch(sigs, 48000, fft_len=512, epochs=epochs)
+    got = analysis_lossless_batch(sigs, 48000, fft_len=512, epochs=epochs,
+                                  mesh=mesh)
+    for (a, b) in zip(ref, got):
+        np.testing.assert_allclose(a[0], b[0], atol=1e-6)
