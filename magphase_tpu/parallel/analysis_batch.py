@@ -96,13 +96,21 @@ def analysis_lossless_batch(signals: list, fs: int,
     """
     if fft_len is None:
         fft_len = define_fft_len(fs)
-    B = len(signals)
 
     if epochs is None:
         tracks = track_f0_batch(signals, fs)
         epochs = []
         for sig, (f0, voiced, y_snap) in zip(signals, tracks):
             epochs.append(tracker.place_epochs(sig, fs, f0, voiced, y_snap))
+
+    # bucket the batch axis (dummy silent utterances, dropped on return)
+    n_real = len(signals)
+    B = bucket(n_real, 8)
+    if B > n_real:
+        d_sig = np.zeros(1024)
+        d_ep = (np.asarray([100, 300]) / float(fs), np.zeros(2))
+        signals = list(signals) + [d_sig] * (B - n_real)
+        epochs = list(epochs) + [d_ep] * (B - n_real)
 
     pms = [np.asarray(np.round(np.asarray(p) * fs), np.int64)
            for p, _ in epochs]
@@ -129,7 +137,7 @@ def analysis_lossless_batch(signals: list, fs: int,
     mag, real, imag, shift = jax.device_get((mag, real, imag, shift))
 
     out = []
-    for b in range(B):
+    for b in range(n_real):
         n = nfrms[b]
         sh = shift[b, :n].astype(np.int64)
         f0 = vois[b][:n] * fs / sh.astype(np.float64)
@@ -137,59 +145,100 @@ def analysis_lossless_batch(signals: list, fs: int,
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("fft_len", "fs", "mag_dim",
+                                             "phase_dim", "mag_dim_ph",
+                                             "alpha", "alpha_phase"))
+def _fused_compressed_kernel(sigs, pm, nfrms, n_sig, voi, *, fft_len, fs,
+                             mag_dim, phase_dim, mag_dim_ph, alpha,
+                             alpha_phase):
+    """Analysis + mel-compression in ONE device program.
+
+    Materialising the lossless (B, F, fft_len/2+1) feature tensors to host
+    between the two stages moves ~50 MB/utt-batch across the host link for
+    features that are immediately re-uploaded; fusing keeps them in HBM and
+    returns only the compressed (B, F, mag_dim/phase_dim) streams.  The
+    f0 -> medfilt -> lf0 smoothing (format_for_modelling,
+    magphase.py:2499-2501) also runs on device (medfilt3)."""
+    from ..vocoder.lossless import analysis_core_batch
+    from ..core.filters import medfilt3
+    from ..core.spectral import f0_to_lf0
+
+    mag, real, imag, f0, shift = analysis_core_batch(
+        sigs, pm, nfrms, n_sig, voi, fft_len=fft_len, fs=fs)
+    B, F, h = mag.shape
+    voi_f = (f0 > 0).astype(mag.dtype)
+    mml, mrm, mim = _format_kernel(
+        mag.reshape(B * F, h), real.reshape(B * F, h),
+        imag.reshape(B * F, h), voi_f.reshape(B * F),
+        mag_dim=mag_dim, phase_dim=phase_dim, mag_dim_ph=mag_dim_ph,
+        alpha=alpha, alpha_phase=alpha_phase)
+    f0_smth = voi_f * jax.vmap(medfilt3)(f0)
+    lf0 = f0_to_lf0(f0_smth)
+    return (mml.reshape(B, F, mag_dim), mrm.reshape(B, F, phase_dim),
+            mim.reshape(B, F, phase_dim), lf0, shift)
+
+
 def analysis_compressed_batch(signals: list, fs: int, mag_dim: int = 60,
                               phase_dim: int = 45,
                               fft_len: int | None = None,
                               epochs: list | None = None,
-                              alpha_phase: float | None = None):
-    """Batched compressed analysis.  Returns list of
+                              alpha_phase: float | None = None,
+                              mesh=None):
+    """Batched compressed analysis, fully fused on device.  Returns list of
     (mag_mel_log, real_mel, imag_mel, lf0, shift)."""
-    from scipy import signal as sp_signal
     alpha = define_alpha(fs)
+    if fft_len is None:
+        fft_len = define_fft_len(fs)
     if alpha_phase is None:
         alpha_phase = alpha
     mag_dim_ph = get_num_full_mel_coeffs_from_num_phase_coeffs(
         define_crossfade_params(fs)[0], phase_dim, alpha_phase, fs)
 
-    lossless = analysis_lossless_batch(signals, fs, fft_len=fft_len,
-                                       epochs=epochs)
-    B = len(lossless)
-    nfrms = [t[0].shape[0] for t in lossless]
+    if epochs is None:
+        tracks = track_f0_batch(signals, fs)
+        epochs = [tracker.place_epochs(sig, fs, f0, voiced, y_snap)
+                  for sig, (f0, voiced, y_snap) in zip(signals, tracks)]
+
+    # bucket the batch axis (dummy silent utterances, dropped on return)
+    n_real = len(signals)
+    B = bucket(n_real, 8)
+    if B > n_real:
+        d_sig = np.zeros(1024)
+        d_ep = (np.asarray([100, 300]) / float(fs), np.zeros(2))
+        signals = list(signals) + [d_sig] * (B - n_real)
+        epochs = list(epochs) + [d_ep] * (B - n_real)
+
+    pms = [np.asarray(np.round(np.asarray(p) * fs), np.int64)
+           for p, _ in epochs]
+    vois = [np.asarray(v, np.float64) for _, v in epochs]
+    nfrms = [len(p) for p in pms]
+
+    S = bucket(max(len(s) for s in signals), SIG_STEP)
     F = bucket(max(nfrms), FRM_STEP)
-    h = lossless[0][0].shape[1]
+    sigs_d = jnp.asarray(np.stack(
+        [pad_to(np.asarray(s, np.float32), S) for s in signals]))
+    pm_d = jnp.asarray(np.stack(
+        [pad_to(p.astype(np.int32), F) for p in pms]))
+    voi_d = jnp.asarray(np.stack(
+        [pad_to(v.astype(np.float32), F) for v in vois]))
+    nfrms_d = jnp.asarray(np.asarray(nfrms, np.int32))
+    nsig_d = jnp.asarray(np.asarray([len(s) for s in signals], np.int32))
 
-    mag_b = np.zeros((B, F, h), np.float32)
-    real_b = np.zeros((B, F, h), np.float32)
-    imag_b = np.zeros((B, F, h), np.float32)
-    voi_b = np.zeros((B, F), np.float32)
-    for b, (mag, real, imag, f0, sh) in enumerate(lossless):
-        n = nfrms[b]
-        mag_b[b, :n] = mag
-        real_b[b, :n] = real
-        imag_b[b, :n] = imag
-        voi_b[b, :n] = (f0 > 0)
+    if mesh is not None:
+        sigs_d, pm_d, nfrms_d, nsig_d, voi_d = shard_batch(
+            mesh, sigs_d, pm_d, nfrms_d, nsig_d, voi_d)
 
-    # compression is frame-independent -> flatten
-    mml, mrm, mim = _format_kernel(
-        jnp.asarray(mag_b.reshape(B * F, h)),
-        jnp.asarray(real_b.reshape(B * F, h)),
-        jnp.asarray(imag_b.reshape(B * F, h)),
-        jnp.asarray(voi_b.reshape(B * F)),
+    mml, mrm, mim, lf0, shift = jax.device_get(_fused_compressed_kernel(
+        sigs_d, pm_d, nfrms_d, nsig_d, voi_d, fft_len=fft_len, fs=fs,
         mag_dim=mag_dim, phase_dim=phase_dim, mag_dim_ph=mag_dim_ph,
-        alpha=alpha, alpha_phase=alpha_phase)
-    mml = np.asarray(mml).reshape(B, F, mag_dim)
-    mrm = np.asarray(mrm).reshape(B, F, phase_dim)
-    mim = np.asarray(mim).reshape(B, F, phase_dim)
+        alpha=alpha, alpha_phase=alpha_phase))
 
     out = []
-    for b, (mag, real, imag, f0, sh) in enumerate(lossless):
+    for b in range(n_real):
         n = nfrms[b]
-        v_voi = (f0 > 0).astype(np.float64)
-        v_f0_s = v_voi * sp_signal.medfilt(np.asarray(f0, np.float64))
-        with np.errstate(divide="ignore"):
-            lf0 = np.log(np.maximum(v_f0_s, 0))
-        lf0[~np.isfinite(lf0)] = -1.0e10
         out.append((mml[b, :n].astype(np.float64),
                     mrm[b, :n].astype(np.float64),
-                    mim[b, :n].astype(np.float64), lf0, sh))
+                    mim[b, :n].astype(np.float64),
+                    lf0[b, :n].astype(np.float64),
+                    shift[b, :n].astype(np.int64)))
     return out

@@ -98,11 +98,22 @@ def synthesis_from_compressed_batch(utts, fs: int,
     if key is None:
         key = jax.random.PRNGKey(0)
 
-    B = len(utts)
     mag_dim = np.atleast_2d(utts[0][0]).shape[1]
     phase_dim = np.atleast_2d(utts[0][1]).shape[1]
     mag_dim_ph = get_num_full_mel_coeffs_from_num_phase_coeffs(
         define_crossfade_params(fs)[0], phase_dim, alpha_phase, fs)
+
+    # bucket the batch axis so arbitrary corpus-tail batch sizes reuse the
+    # same compiled program (dummy 2-frame unvoiced utterances, dropped on
+    # return)
+    n_real = len(utts)
+    B = bucket(n_real, 8)
+    if B > n_real:
+        dummy = (np.full((2, mag_dim), -3.0, np.float32),
+                 np.zeros((2, phase_dim), np.float32),
+                 np.zeros((2, phase_dim), np.float32),
+                 np.full(2, -1.0e10))
+        utts = list(utts) + [dummy] * (B - n_real)
 
     nfrms = np.asarray([np.atleast_1d(np.squeeze(u[3])).shape[0]
                         for u in utts], np.int64)
@@ -150,6 +161,7 @@ def synthesis_from_compressed_batch(utts, fs: int,
         b_out_hpf=b_out_hpf, pf_type=pf_type)
 
     if not block_result:
-        return bufs, out_lens
+        return bufs, out_lens[:n_real]
     bufs = jax.device_get(bufs)
-    return [np.asarray(bufs[i][:out_lens[i]], np.float64) for i in range(B)]
+    return [np.asarray(bufs[i][:out_lens[i]], np.float64)
+            for i in range(n_real)]

@@ -70,7 +70,11 @@ def copy_synthesis_batch(signals: list, fs: int, fft_len: int = 4096,
                          mesh=None, block_result: bool = True):
     """Batched lossless copy-synthesis.  Returns list of waveforms (or the
     device buffer + per-utterance mark counts when block_result=False)."""
-    B = len(signals)
+    # bucket the batch axis (dummy silent utterances, dropped on return)
+    n_real = len(signals)
+    B = bucket(n_real, 8)
+    if B > n_real:
+        signals = list(signals) + [np.zeros(1024)] * (B - n_real)
     S = bucket(max(len(s) for s in signals), SIG_STEP)
     sigs = np.stack([pad_to(np.asarray(s, np.float32), S) for s in signals])
     n_sigs = np.asarray([len(s) for s in signals], np.int32)
@@ -101,6 +105,6 @@ def copy_synthesis_batch(signals: list, fs: int, fft_len: int = 4096,
         return bufs, n_marks
     bufs = jax.device_get(bufs)
     out = []
-    for b in range(B):
+    for b in range(n_real):
         out.append(np.asarray(bufs[b][:len(signals[b])], np.float64))
     return out

@@ -1,6 +1,7 @@
 from .lossless import (analysis_lossless, analysis_with_del_comp_from_pm,
-                       synthesis_from_lossless, f0_to_shift, shift_to_pm,
-                       pm_to_shift)
+                       analysis_with_del_comp_from_pm_type2,
+                       synthesis_from_lossless, synthesis_with_del_comp,
+                       f0_to_shift, shift_to_pm, pm_to_shift)
 from .compressed import (analysis_compressed, analysis_for_acoustic_modelling,
                          format_for_modelling, synthesis_from_compressed,
                          synthesis_from_acoustic_modelling,

@@ -247,6 +247,44 @@ def pm_to_shift(v_pm: np.ndarray) -> np.ndarray:
     return np.diff(np.hstack((0, v_pm)))
 
 
+def synthesis_with_del_comp(m_sp: np.ndarray, m_ph: np.ndarray,
+                            v_shift: np.ndarray,
+                            win_flat_to_len: float = 1.0) -> np.ndarray:
+    """Legacy magnitude+phase OLA synthesis (magphase.py:371-419).
+
+    The reference's default ``win_flat_to_len=0.3`` branch calls
+    ``la.gen_wider_window``, which does not exist in its tree — that path
+    has always raised NameError and is excluded from the capability
+    surface (SURVEY.md §7 "dead/broken reference paths").  Only the
+    no-window-correction path (win_flat_to_len >= 1) is reproducible:
+    frames 0..n-2 overlap-added centred at their pitch marks, output
+    trimmed by fft_len/2 - shift[0] leading samples.
+    """
+    if win_flat_to_len < 1:
+        raise NotImplementedError(
+            "win_flat_to_len < 1 invokes la.gen_wider_window, which is "
+            "undefined in the reference (magphase.py:403) — dead code.")
+    v_shift = np.round(np.asarray(v_shift)).astype(np.int64)
+    m_sp = np.asarray(m_sp, np.float64)
+    m_ph = np.asarray(m_ph, np.float64)
+    nfrms, h = m_sp.shape
+    fft_len = 2 * (h - 1)
+    v_pm = np.cumsum(v_shift)
+    out_len = int(v_pm[-1] + fft_len - (fft_len // 2 - v_shift[0]))
+
+    F = bucket(nfrms, FRM_STEP)
+    O = bucket(out_len, SIG_STEP)
+    spec = (m_sp * np.exp(1j * m_ph)).astype(np.complex64)
+    m_frm = np.fft.irfft(spec, n=fft_len).astype(np.float32)
+    m_frm = np.roll(m_frm, fft_len // 2, axis=1)      # fftshift (even N)
+    # the reference's loop adds frames 0..nfrms-2 only (magphase.py:396-398)
+    buf = framing.ola_centered_batch(
+        jnp.asarray(pad_to(m_frm, F))[None],
+        jnp.asarray(pad_to(v_pm.astype(np.int32), F))[None],
+        jnp.asarray([nfrms - 1], jnp.int32), O)[0]
+    return np.asarray(jax.device_get(buf)[:out_len], np.float64)
+
+
 def synthesis_from_lossless(m_mag: np.ndarray, m_real: np.ndarray,
                             m_imag: np.ndarray, v_f0: np.ndarray,
                             fs: int) -> np.ndarray:

@@ -89,3 +89,30 @@ def test_analysis_feats_shapes_and_ranges(demo_wav, synthetic_pm):
     norm = m_real ** 2 + m_imag ** 2
     np.testing.assert_allclose(norm[m_mag > 1e-9], 1.0, atol=1e-3)
     assert np.all(v_f0 > 0)
+
+
+def test_synthesis_with_del_comp_reconstructs(demo_wav, synthetic_pm):
+    """Legacy mag+phase OLA synthesis (magphase.py:371-419,
+    win_flat_to_len>=1 path) reconstructs the analysed signal interior."""
+    import numpy as np
+    from magphase_tpu.vocoder import (analysis_with_del_comp_from_pm,
+                                      synthesis_with_del_comp)
+    sig, fs = demo_wav
+    pm, shifts = synthetic_pm
+    mag, real, imag, f0, shift = analysis_with_del_comp_from_pm(
+        sig, fs, pm, np.ones(len(pm)))
+    m_ph = np.angle(real + 1j * imag)
+    syn = synthesis_with_del_comp(mag, m_ph, shift)
+    a = int(pm[0]) + 500
+    b = min(len(syn), len(sig), int(pm[-2]))  # interior (last frame dropped)
+    err = np.abs(syn[a:b] - sig[a:b])
+    assert np.percentile(err, 99) < 2 ** -12
+
+
+def test_synthesis_with_del_comp_dead_branch_raises():
+    import numpy as np
+    import pytest
+    from magphase_tpu.vocoder import synthesis_with_del_comp
+    with pytest.raises(NotImplementedError):
+        synthesis_with_del_comp(np.ones((4, 9)), np.zeros((4, 9)),
+                                np.full(4, 4), win_flat_to_len=0.3)
