@@ -28,14 +28,45 @@ def _add_common(p):
 
 
 def cmd_extract(args) -> int:
-    from .io import read_scp_file, mkdir, read_wav
-    from .utils.corpus import run_corpus
+    from .io import read_scp_file, mkdir, read_wav, write_featfile
+    from .utils.corpus import run_corpus, run_corpus_batched
     from .utils.metrics import setup_logging
     from .vocoder import analysis_for_acoustic_modelling
 
     setup_logging()
     tokens = read_scp_file(args.scp)
     mkdir(args.out_dir)
+    config = {"mag_dim": args.mag_dim, "phase_dim": args.phase_dim,
+              "const_rate": args.const_rate}
+
+    if args.batch_size > 1 and not args.const_rate:
+        # device-batched production path: tracking + analysis + compression
+        # fused in one program per chunk (vs one REAPER + three SPTK
+        # subprocesses per utterance in the reference, stack SURVEY.md §3.2)
+        from .parallel.analysis_batch import analysis_compressed_batch
+
+        def process_batch(chunk):
+            sigs, fs = [], None
+            for tok in chunk:
+                s, fs = read_wav(os.path.join(args.wav_dir, tok + ".wav"))
+                sigs.append(s)
+            feats = analysis_compressed_batch(
+                sigs, fs, mag_dim=args.mag_dim, phase_dim=args.phase_dim,
+                fft_len=args.fft_len or None)
+            for tok, (mml, mrm, mim, lf0, sh) in zip(chunk, feats):
+                write_featfile(mml, args.out_dir, tok + ".mag")
+                write_featfile(mrm, args.out_dir, tok + ".real")
+                write_featfile(mim, args.out_dir, tok + ".imag")
+                write_featfile(lf0, args.out_dir, tok + ".lf0")
+                write_featfile(sh.astype("float32"), args.out_dir,
+                               tok + ".shift")
+            return [len(s) / fs for s in sigs]
+
+        res = run_corpus_batched(tokens, process_batch, args.out_dir,
+                                 batch_size=args.batch_size, config=config,
+                                 crash_list_path=args.crash_list)
+        res.metrics.log_summary()
+        return 1 if res.failed else 0
 
     def process(tok):
         wav = os.path.join(args.wav_dir, tok + ".wav")
@@ -46,10 +77,7 @@ def cmd_extract(args) -> int:
         sig, fs = read_wav(wav)
         return len(sig) / fs
 
-    res = run_corpus(tokens, process, args.out_dir,
-                     config={"mag_dim": args.mag_dim,
-                             "phase_dim": args.phase_dim,
-                             "const_rate": args.const_rate},
+    res = run_corpus(tokens, process, args.out_dir, config=config,
                      crash_list_path=args.crash_list)
     res.metrics.log_summary()
     return 1 if res.failed else 0
@@ -141,6 +169,9 @@ def main(argv=None) -> int:
     pe.add_argument("--phase-dim", type=int, default=45)
     pe.add_argument("--fft-len", type=int, default=0)
     pe.add_argument("--const-rate", action="store_true")
+    pe.add_argument("--batch-size", type=int, default=8,
+                    help="device batch size (1 = per-utterance path; "
+                         "const-rate always runs per-utterance)")
     pe.set_defaults(fn=cmd_extract)
 
     pg = sub.add_parser("generate", help="batch waveform generation")

@@ -79,3 +79,28 @@ def place_epochs_batch_kernel(y_snap_b, f0_b, voiced_b, n_sig_b, *, fs: int,
                               m_max: int):
     one = functools.partial(place_epochs_kernel, fs=fs, m_max=m_max)
     return jax.vmap(one)(y_snap_b, f0_b, voiced_b, n_sig_b)
+
+
+def track_and_place_one(sig, n_sig, n_frames, *, fs: int, n_pad: int,
+                        n_frames_max: int, m_max: int):
+    """One utterance, fully on device: preprocess -> NCCF -> Viterbi ->
+    epoch walk.  Returns (marks[m_max] samples, flags[m_max], n_marks).
+
+    The device half of epochs/tracker.py:extract_epochs — vmap over the
+    batch axis and call under an enclosing jit (it is not jitted here).
+    """
+    from . import tracker
+
+    fs_a = tracker.FS_ANALYSIS
+    xa, y_snap = tracker._preprocess(sig, fs=fs, n_pad=n_pad)
+    nccf, valid = tracker._nccf(xa, n_frames, n_frames_max=n_frames_max)
+    vals, lags = tracker._candidates(nccf)
+    states = tracker._viterbi(vals, lags, valid)
+
+    voiced = (states < tracker.N_CAND) & valid
+    lag_sel = jnp.take_along_axis(
+        lags, jnp.clip(states, 0, tracker.N_CAND - 1)[:, None], axis=1)[:, 0]
+    f0 = jnp.where(voiced & (lag_sel > 0),
+                   fs_a / jnp.maximum(lag_sel, 1.0), 0.0)
+    return place_epochs_kernel(y_snap, f0, voiced.astype(jnp.float32),
+                               n_sig, fs=fs, m_max=m_max)

@@ -17,6 +17,7 @@ import numpy as np
 
 from ..config import define_alpha, define_crossfade_params, define_fft_len
 from ..epochs import tracker
+from ..epochs.placement_device import track_and_place_one
 from ..utils.padding import FRM_STEP, SIG_STEP, bucket, pad_to
 from ..vocoder.compressed import (
     _format_kernel, get_num_full_mel_coeffs_from_num_phase_coeffs)
@@ -74,6 +75,116 @@ def track_f0_batch(signals: list, fs: int):
     return out
 
 
+def _tracker_frame_geometry(signals: list, fs: int):
+    """Per-utterance NCCF frame counts + the bucketed frame maximum."""
+    fs_a = tracker.FS_ANALYSIS
+    step = int(round(tracker.FRAME_STEP_S * fs_a))
+    w = int(round(tracker.CORR_WIN_S * fs_a))
+    max_lag = int(round(fs_a / tracker.F0_MIN))
+    n_frames = np.asarray(
+        [max(1, ((len(s) * fs_a) // fs - (w + max_lag)) // step + 1)
+         for s in signals], np.int32)
+    return n_frames, bucket(int(n_frames.max()), 128)
+
+
+def _device_signal_batch(signals: list, fs: int, mesh=None):
+    """Bucket/pad a list of signals for the fused tracker kernels.
+
+    Returns (signals_incl_dummies, (sigs_d, n_sigs_d, n_frames_d),
+    S, Tmax, m_max, n_real).  The batch axis is padded to a multiple of 8
+    with short silent dummies (dropped by the caller on return) and
+    optionally sharded over a 1-D data mesh.
+    """
+    n_real = len(signals)
+    B = bucket(n_real, 8)
+    if B > n_real:
+        signals = list(signals) + [np.zeros(1024)] * (B - n_real)
+    S = bucket(max(len(s) for s in signals), SIG_STEP)
+    sigs = np.stack([pad_to(np.asarray(s, np.float32), S) for s in signals])
+    n_sigs = np.asarray([len(s) for s in signals], np.int32)
+    n_frames, Tmax = _tracker_frame_geometry(signals, fs)
+    m_max = bucket(S // 200 + 2, FRM_STEP)
+
+    sigs_d = jnp.asarray(sigs)
+    n_sigs_d = jnp.asarray(n_sigs)
+    n_frames_d = jnp.asarray(n_frames)
+    if mesh is not None:
+        sigs_d, n_sigs_d, n_frames_d = shard_batch(
+            mesh, sigs_d, n_sigs_d, n_frames_d)
+    return signals, (sigs_d, n_sigs_d, n_frames_d), S, Tmax, m_max, n_real
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _trim_frames(arrs, *, n: int):
+    """Slice the frame axis to the realised bucket before host transfer.
+
+    The fused kernels pad frames to the static worst case m_max; the actual
+    mark counts are usually far below it, so slicing on device first cuts
+    the (transfer-bound) feature download proportionally."""
+    return tuple(a[:, :n] for a in arrs)
+
+
+@functools.partial(jax.jit, static_argnames=("fs", "n_pad", "n_frames_max",
+                                             "m_max", "fft_len"))
+def _fused_track_lossless_kernel(sigs, n_sigs, n_frames, *, fs: int,
+                                 n_pad: int, n_frames_max: int, m_max: int,
+                                 fft_len: int):
+    """Tracking + epoch placement + lossless analysis in ONE device program.
+
+    Replaces the reference's REAPER-subprocess-then-analyse sequence
+    (magphase.py:2869-2906) without the low-passed-signal download the
+    host epoch walk needs (6.5 MB/10-utt-batch over the host link); only
+    the feature tensors and the tiny mark arrays leave the device.
+    """
+    from ..vocoder.lossless import analysis_core_batch
+
+    track_one = functools.partial(
+        track_and_place_one, fs=fs, n_pad=n_pad,
+        n_frames_max=n_frames_max, m_max=m_max)
+    marks, flags, n_marks = jax.vmap(track_one)(sigs, n_sigs, n_frames)
+    mag, real, imag, _f0, shift = analysis_core_batch(
+        sigs, marks, n_marks, n_sigs, flags, fft_len=fft_len, fs=fs)
+    return mag, real, imag, shift, flags, n_marks
+
+
+@functools.partial(jax.jit, static_argnames=("fs", "n_pad", "n_frames_max",
+                                             "m_max", "fft_len", "mag_dim",
+                                             "phase_dim", "mag_dim_ph",
+                                             "alpha", "alpha_phase"))
+def _fused_track_compress_kernel(sigs, n_sigs, n_frames, *, fs: int,
+                                 n_pad: int, n_frames_max: int, m_max: int,
+                                 fft_len: int, mag_dim: int, phase_dim: int,
+                                 mag_dim_ph: int, alpha: float,
+                                 alpha_phase: float):
+    """Tracking + placement + analysis + mel-compression, ONE program.
+
+    The production feature-extraction path (reference stack 3.2:
+    REAPER + 3 SPTK subprocesses per utterance) fused end-to-end; only the
+    (B, F, mag_dim/phase_dim) compressed streams cross the host link."""
+    from ..core.filters import medfilt3
+    from ..core.spectral import f0_to_lf0
+    from ..vocoder.lossless import analysis_core_batch
+
+    track_one = functools.partial(
+        track_and_place_one, fs=fs, n_pad=n_pad,
+        n_frames_max=n_frames_max, m_max=m_max)
+    marks, flags, n_marks = jax.vmap(track_one)(sigs, n_sigs, n_frames)
+    mag, real, imag, f0, shift = analysis_core_batch(
+        sigs, marks, n_marks, n_sigs, flags, fft_len=fft_len, fs=fs)
+
+    B, F, h = mag.shape
+    voi_f = (f0 > 0).astype(mag.dtype)
+    mml, mrm, mim = _format_kernel(
+        mag.reshape(B * F, h), real.reshape(B * F, h),
+        imag.reshape(B * F, h), voi_f.reshape(B * F),
+        mag_dim=mag_dim, phase_dim=phase_dim, mag_dim_ph=mag_dim_ph,
+        alpha=alpha, alpha_phase=alpha_phase)
+    f0_smth = voi_f * jax.vmap(medfilt3)(f0)
+    lf0 = f0_to_lf0(f0_smth)
+    return (mml.reshape(B, F, mag_dim), mrm.reshape(B, F, phase_dim),
+            mim.reshape(B, F, phase_dim), lf0, shift, n_marks)
+
+
 @functools.partial(jax.jit, static_argnames=("fft_len", "fs"))
 def _analysis_batch_jit(sigs, pm, nfrms, n_sig, voi, *, fft_len: int,
                         fs: int):
@@ -98,10 +209,24 @@ def analysis_lossless_batch(signals: list, fs: int,
         fft_len = define_fft_len(fs)
 
     if epochs is None:
-        tracks = track_f0_batch(signals, fs)
-        epochs = []
-        for sig, (f0, voiced, y_snap) in zip(signals, tracks):
-            epochs.append(tracker.place_epochs(sig, fs, f0, voiced, y_snap))
+        # fused device path: tracking + placement + analysis in one program
+        signals, dev, S, Tmax, m_max, n_real = _device_signal_batch(
+            signals, fs, mesh)
+        mag, real, imag, shift, flags, n_marks = _fused_track_lossless_kernel(
+            *dev, fs=fs, n_pad=S, n_frames_max=Tmax, m_max=m_max,
+            fft_len=fft_len)
+        n_marks = np.asarray(jax.device_get(n_marks))
+        Fa = min(m_max, bucket(int(n_marks.max()), FRM_STEP))
+        mag, real, imag, shift, flags = jax.device_get(_trim_frames(
+            (mag, real, imag, shift, flags), n=Fa))
+        out = []
+        for b in range(n_real):
+            n = int(n_marks[b])
+            sh = shift[b, :n].astype(np.int64)
+            f0 = (flags[b, :n].astype(np.float64) * fs /
+                  np.maximum(sh, 1).astype(np.float64))
+            out.append((mag[b, :n], real[b, :n], imag[b, :n], f0, sh))
+        return out
 
     # bucket the batch axis (dummy silent utterances, dropped on return)
     n_real = len(signals)
@@ -195,9 +320,26 @@ def analysis_compressed_batch(signals: list, fs: int, mag_dim: int = 60,
         define_crossfade_params(fs)[0], phase_dim, alpha_phase, fs)
 
     if epochs is None:
-        tracks = track_f0_batch(signals, fs)
-        epochs = [tracker.place_epochs(sig, fs, f0, voiced, y_snap)
-                  for sig, (f0, voiced, y_snap) in zip(signals, tracks)]
+        # fused device path: tracking + placement + analysis + compression
+        signals, dev, S, Tmax, m_max, n_real = _device_signal_batch(
+            signals, fs, mesh)
+        mml, mrm, mim, lf0, shift, n_marks = _fused_track_compress_kernel(
+            *dev, fs=fs, n_pad=S, n_frames_max=Tmax, m_max=m_max,
+            fft_len=fft_len, mag_dim=mag_dim, phase_dim=phase_dim,
+            mag_dim_ph=mag_dim_ph, alpha=alpha, alpha_phase=alpha_phase)
+        n_marks = np.asarray(jax.device_get(n_marks))
+        Fa = min(m_max, bucket(int(n_marks.max()), FRM_STEP))
+        mml, mrm, mim, lf0, shift = jax.device_get(_trim_frames(
+            (mml, mrm, mim, lf0, shift), n=Fa))
+        out = []
+        for b in range(n_real):
+            n = int(n_marks[b])
+            out.append((mml[b, :n].astype(np.float64),
+                        mrm[b, :n].astype(np.float64),
+                        mim[b, :n].astype(np.float64),
+                        lf0[b, :n].astype(np.float64),
+                        shift[b, :n].astype(np.int64)))
+        return out
 
     # bucket the batch axis (dummy silent utterances, dropped on return)
     n_real = len(signals)

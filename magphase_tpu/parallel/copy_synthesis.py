@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..epochs import tracker
-from ..epochs.placement_device import place_epochs_kernel
+from ..epochs.placement_device import track_and_place_one
 from ..utils.padding import FRM_STEP, SIG_STEP, bucket, pad_to
 from ..vocoder.lossless import _analysis_kernel, _synthesis_kernel
 from .mesh import shard_batch
@@ -35,26 +35,9 @@ def _copy_synthesis_kernel(sigs, n_sigs, n_frames, *, fs: int, n_pad: int,
                            n_frames_max: int, m_max: int, fft_len: int,
                            out_len_max: int):
     """(B, S) signals -> (B, out_len_max) resynthesised signals + stats."""
-    fs_a = tracker.FS_ANALYSIS
-
-    def track_one(sig, n_sig, nf):
-        xa, y_snap = tracker._preprocess(sig, fs=fs, n_pad=n_pad)
-        nccf, valid = tracker._nccf(xa, nf, n_frames_max=n_frames_max)
-        vals, lags = tracker._candidates(nccf)
-        states = tracker._viterbi(vals, lags, valid)
-
-        voiced = (states < tracker.N_CAND) & valid
-        lag_sel = jnp.take_along_axis(
-            lags, jnp.clip(states, 0, tracker.N_CAND - 1)[:, None],
-            axis=1)[:, 0]
-        f0 = jnp.where(voiced & (lag_sel > 0),
-                       fs_a / jnp.maximum(lag_sel, 1.0), 0.0)
-
-        marks, flags, n_marks = place_epochs_kernel(
-            y_snap, f0, voiced.astype(jnp.float32), n_sig, fs=fs,
-            m_max=m_max)
-        return marks, flags, n_marks
-
+    track_one = functools.partial(
+        track_and_place_one, fs=fs, n_pad=n_pad,
+        n_frames_max=n_frames_max, m_max=m_max)
     marks, flags, n_marks = jax.vmap(track_one)(sigs, n_sigs, n_frames)
 
     # batched analysis + synthesis (Pallas framing/OLA on TPU)

@@ -86,3 +86,55 @@ def run_corpus(tokens, process_fn, out_dir: str, config: dict | None = None,
     logger.info("corpus done: %d processed, %d skipped, %d failed",
                 len(res.done), len(res.skipped), len(res.failed))
     return res
+
+
+def run_corpus_batched(tokens, process_batch_fn, out_dir: str,
+                       batch_size: int = 8, config: dict | None = None,
+                       crash_list_path: str | None = None) -> CorpusResult:
+    """Run ``process_batch_fn(token_chunk) -> [audio_seconds, ...]`` over
+    utterance chunks (device-batched pipelines).
+
+    Keeps the reference's crash-list contract (SURVEY.md §5) at batch
+    granularity: when a chunk fails it is retried one utterance at a time,
+    so a single bad wav costs one singleton retry, not the whole chunk.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = Manifest(out_dir, config)
+    res = CorpusResult()
+
+    pending = []
+    for tok in tokens:
+        (res.skipped if tok in manifest.done else pending).append(tok)
+
+    def record_fail(tok, e):
+        logger.error("utterance %s failed: %s", tok, e)
+        logger.debug("%s", traceback.format_exc())
+        res.failed.append(tok)
+        if crash_list_path:
+            with open(crash_list_path, "a") as f:
+                f.write(tok + "\n")
+
+    for i in range(0, len(pending), batch_size):
+        chunk = pending[i:i + batch_size]
+        try:
+            with res.metrics.stage("process"):
+                seconds = process_batch_fn(chunk)
+            for tok, s in zip(chunk, seconds):
+                res.metrics.add_audio(float(s))
+                manifest.mark(tok)
+                res.done.append(tok)
+        except Exception:
+            # isolate the failing utterance(s) with singleton retries
+            for tok in chunk:
+                try:
+                    with res.metrics.stage("process"):
+                        seconds = process_batch_fn([tok])
+                    res.metrics.add_audio(float(seconds[0]))
+                    manifest.mark(tok)
+                    res.done.append(tok)
+                except Exception as e:
+                    record_fail(tok, e)
+        manifest.save()
+    logger.info("corpus done: %d processed, %d skipped, %d failed",
+                len(res.done), len(res.skipped), len(res.failed))
+    return res
