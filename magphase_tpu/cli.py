@@ -39,7 +39,7 @@ def cmd_extract(args) -> int:
     config = {"mag_dim": args.mag_dim, "phase_dim": args.phase_dim,
               "const_rate": args.const_rate}
 
-    if args.batch_size > 1 and not args.const_rate:
+    if args.batch_size > 1:
         # device-batched production path: tracking + analysis + compression
         # fused in one program per chunk (vs one REAPER + three SPTK
         # subprocesses per utterance in the reference, stack SURVEY.md §3.2)
@@ -52,14 +52,18 @@ def cmd_extract(args) -> int:
                 sigs.append(s)
             feats = analysis_compressed_batch(
                 sigs, fs, mag_dim=args.mag_dim, phase_dim=args.phase_dim,
-                fft_len=args.fft_len or None)
+                fft_len=args.fft_len or None,
+                b_const_rate=args.const_rate)
             for tok, (mml, mrm, mim, lf0, sh) in zip(chunk, feats):
                 write_featfile(mml, args.out_dir, tok + ".mag")
                 write_featfile(mrm, args.out_dir, tok + ".real")
                 write_featfile(mim, args.out_dir, tok + ".imag")
                 write_featfile(lf0, args.out_dir, tok + ".lf0")
-                write_featfile(sh.astype("float32"), args.out_dir,
-                               tok + ".shift")
+                if not args.const_rate:
+                    # const-rate features need no .shift
+                    # (analysis_for_acoustic_modelling, magphase.py:3014-3020)
+                    write_featfile(sh.astype("float32"), args.out_dir,
+                                   tok + ".shift")
             return [len(s) / fs for s in sigs]
 
         res = run_corpus_batched(tokens, process_batch, args.out_dir,
@@ -170,8 +174,7 @@ def main(argv=None) -> int:
     pe.add_argument("--fft-len", type=int, default=0)
     pe.add_argument("--const-rate", action="store_true")
     pe.add_argument("--batch-size", type=int, default=8,
-                    help="device batch size (1 = per-utterance path; "
-                         "const-rate always runs per-utterance)")
+                    help="device batch size (1 = per-utterance path)")
     pe.set_defaults(fn=cmd_extract)
 
     pg = sub.add_parser("generate", help="batch waveform generation")

@@ -147,30 +147,13 @@ def _fused_track_lossless_kernel(sigs, n_sigs, n_frames, *, fs: int,
     return mag, real, imag, shift, flags, n_marks
 
 
-@functools.partial(jax.jit, static_argnames=("fs", "n_pad", "n_frames_max",
-                                             "m_max", "fft_len", "mag_dim",
-                                             "phase_dim", "mag_dim_ph",
-                                             "alpha", "alpha_phase"))
-def _fused_track_compress_kernel(sigs, n_sigs, n_frames, *, fs: int,
-                                 n_pad: int, n_frames_max: int, m_max: int,
-                                 fft_len: int, mag_dim: int, phase_dim: int,
-                                 mag_dim_ph: int, alpha: float,
-                                 alpha_phase: float):
-    """Tracking + placement + analysis + mel-compression, ONE program.
-
-    The production feature-extraction path (reference stack 3.2:
-    REAPER + 3 SPTK subprocesses per utterance) fused end-to-end; only the
-    (B, F, mag_dim/phase_dim) compressed streams cross the host link."""
+def _compress_streams(mag, real, imag, f0, *, mag_dim, phase_dim,
+                      mag_dim_ph, alpha, alpha_phase):
+    """(B, F, h) lossless streams -> (B, F, dims) compressed streams + lf0
+    (format_for_modelling, magphase.py:2490-2544, incl. the on-device
+    medfilt f0 smoothing of 2499-2501)."""
     from ..core.filters import medfilt3
     from ..core.spectral import f0_to_lf0
-    from ..vocoder.lossless import analysis_core_batch
-
-    track_one = functools.partial(
-        track_and_place_one, fs=fs, n_pad=n_pad,
-        n_frames_max=n_frames_max, m_max=m_max)
-    marks, flags, n_marks = jax.vmap(track_one)(sigs, n_sigs, n_frames)
-    mag, real, imag, f0, shift = analysis_core_batch(
-        sigs, marks, n_marks, n_sigs, flags, fft_len=fft_len, fs=fs)
 
     B, F, h = mag.shape
     voi_f = (f0 > 0).astype(mag.dtype)
@@ -182,7 +165,59 @@ def _fused_track_compress_kernel(sigs, n_sigs, n_frames, *, fs: int,
     f0_smth = voi_f * jax.vmap(medfilt3)(f0)
     lf0 = f0_to_lf0(f0_smth)
     return (mml.reshape(B, F, mag_dim), mrm.reshape(B, F, phase_dim),
-            mim.reshape(B, F, phase_dim), lf0, shift, n_marks)
+            mim.reshape(B, F, phase_dim), lf0)
+
+
+def _const_resample_batch(mag, real, imag, f0, pm, nfrms, *, crs: float,
+                          fc_max: int):
+    """Batched variable -> constant 5 ms grid resampling of the lossless
+    streams (analysis_compressed's const-rate block, magphase.py:2967-2980)."""
+    from ..vocoder.framerate import const_rate_resample_core
+
+    def one(m, r, i, f, p, n):
+        (mc, rc, ic), f0c, n_const = const_rate_resample_core(
+            (m, r, i), f, p, n, const_rate_smpls=crs, fc_max=fc_max)
+        return mc, rc, ic, f0c, n_const
+
+    return jax.vmap(one)(mag, real, imag, f0, pm, nfrms)
+
+
+@functools.partial(jax.jit, static_argnames=("fs", "n_pad", "n_frames_max",
+                                             "m_max", "fft_len", "mag_dim",
+                                             "phase_dim", "mag_dim_ph",
+                                             "alpha", "alpha_phase",
+                                             "fc_max"))
+def _fused_track_compress_kernel(sigs, n_sigs, n_frames, *, fs: int,
+                                 n_pad: int, n_frames_max: int, m_max: int,
+                                 fft_len: int, mag_dim: int, phase_dim: int,
+                                 mag_dim_ph: int, alpha: float,
+                                 alpha_phase: float, fc_max: int = 0):
+    """Tracking + placement + analysis + mel-compression, ONE program.
+
+    The production feature-extraction path (reference stack 3.2:
+    REAPER + 3 SPTK subprocesses per utterance) fused end-to-end; only the
+    (B, F, mag_dim/phase_dim) compressed streams cross the host link.
+    fc_max > 0 selects constant 5 ms frame-rate output (the lossless
+    streams are regridded on device before compression)."""
+    from ..vocoder.lossless import analysis_core_batch
+
+    track_one = functools.partial(
+        track_and_place_one, fs=fs, n_pad=n_pad,
+        n_frames_max=n_frames_max, m_max=m_max)
+    marks, flags, n_marks = jax.vmap(track_one)(sigs, n_sigs, n_frames)
+    mag, real, imag, f0, shift = analysis_core_batch(
+        sigs, marks, n_marks, n_sigs, flags, fft_len=fft_len, fs=fs)
+
+    if fc_max > 0:
+        mag, real, imag, f0, n_valid = _const_resample_batch(
+            mag, real, imag, f0, marks, n_marks,
+            crs=fs * 5.0 / 1000.0, fc_max=fc_max)
+    else:
+        n_valid = n_marks
+    mml, mrm, mim, lf0 = _compress_streams(
+        mag, real, imag, f0, mag_dim=mag_dim, phase_dim=phase_dim,
+        mag_dim_ph=mag_dim_ph, alpha=alpha, alpha_phase=alpha_phase)
+    return mml, mrm, mim, lf0, shift, n_marks, n_valid
 
 
 @functools.partial(jax.jit, static_argnames=("fft_len", "fs"))
@@ -272,35 +307,32 @@ def analysis_lossless_batch(signals: list, fs: int,
 
 @functools.partial(jax.jit, static_argnames=("fft_len", "fs", "mag_dim",
                                              "phase_dim", "mag_dim_ph",
-                                             "alpha", "alpha_phase"))
+                                             "alpha", "alpha_phase",
+                                             "fc_max"))
 def _fused_compressed_kernel(sigs, pm, nfrms, n_sig, voi, *, fft_len, fs,
                              mag_dim, phase_dim, mag_dim_ph, alpha,
-                             alpha_phase):
-    """Analysis + mel-compression in ONE device program.
+                             alpha_phase, fc_max: int = 0):
+    """Analysis + mel-compression in ONE device program (epochs given).
 
     Materialising the lossless (B, F, fft_len/2+1) feature tensors to host
     between the two stages moves ~50 MB/utt-batch across the host link for
     features that are immediately re-uploaded; fusing keeps them in HBM and
-    returns only the compressed (B, F, mag_dim/phase_dim) streams.  The
-    f0 -> medfilt -> lf0 smoothing (format_for_modelling,
-    magphase.py:2499-2501) also runs on device (medfilt3)."""
+    returns only the compressed (B, F, mag_dim/phase_dim) streams.
+    fc_max > 0 selects constant 5 ms frame-rate output."""
     from ..vocoder.lossless import analysis_core_batch
-    from ..core.filters import medfilt3
-    from ..core.spectral import f0_to_lf0
 
     mag, real, imag, f0, shift = analysis_core_batch(
         sigs, pm, nfrms, n_sig, voi, fft_len=fft_len, fs=fs)
-    B, F, h = mag.shape
-    voi_f = (f0 > 0).astype(mag.dtype)
-    mml, mrm, mim = _format_kernel(
-        mag.reshape(B * F, h), real.reshape(B * F, h),
-        imag.reshape(B * F, h), voi_f.reshape(B * F),
-        mag_dim=mag_dim, phase_dim=phase_dim, mag_dim_ph=mag_dim_ph,
-        alpha=alpha, alpha_phase=alpha_phase)
-    f0_smth = voi_f * jax.vmap(medfilt3)(f0)
-    lf0 = f0_to_lf0(f0_smth)
-    return (mml.reshape(B, F, mag_dim), mrm.reshape(B, F, phase_dim),
-            mim.reshape(B, F, phase_dim), lf0, shift)
+    if fc_max > 0:
+        mag, real, imag, f0, n_valid = _const_resample_batch(
+            mag, real, imag, f0, pm, nfrms,
+            crs=fs * 5.0 / 1000.0, fc_max=fc_max)
+    else:
+        n_valid = nfrms
+    mml, mrm, mim, lf0 = _compress_streams(
+        mag, real, imag, f0, mag_dim=mag_dim, phase_dim=phase_dim,
+        mag_dim_ph=mag_dim_ph, alpha=alpha, alpha_phase=alpha_phase)
+    return mml, mrm, mim, lf0, shift, n_valid
 
 
 def analysis_compressed_batch(signals: list, fs: int, mag_dim: int = 60,
@@ -308,9 +340,13 @@ def analysis_compressed_batch(signals: list, fs: int, mag_dim: int = 60,
                               fft_len: int | None = None,
                               epochs: list | None = None,
                               alpha_phase: float | None = None,
+                              b_const_rate: bool = False,
                               mesh=None):
     """Batched compressed analysis, fully fused on device.  Returns list of
-    (mag_mel_log, real_mel, imag_mel, lf0, shift)."""
+    (mag_mel_log, real_mel, imag_mel, lf0, shift); with b_const_rate the
+    feature streams are on the constant 5 ms grid while shift stays the
+    variable-rate track (analysis_compressed contract,
+    magphase.py:2947-2988)."""
     alpha = define_alpha(fs)
     if fft_len is None:
         fft_len = define_fft_len(fs)
@@ -319,26 +355,36 @@ def analysis_compressed_batch(signals: list, fs: int, mag_dim: int = 60,
     mag_dim_ph = get_num_full_mel_coeffs_from_num_phase_coeffs(
         define_crossfade_params(fs)[0], phase_dim, alpha_phase, fs)
 
+    def fc_max_for(S):
+        if not b_const_rate:
+            return 0
+        return bucket(int(np.ceil(S / (fs * 5.0 / 1000.0))), FRM_STEP)
+
     if epochs is None:
         # fused device path: tracking + placement + analysis + compression
         signals, dev, S, Tmax, m_max, n_real = _device_signal_batch(
             signals, fs, mesh)
-        mml, mrm, mim, lf0, shift, n_marks = _fused_track_compress_kernel(
-            *dev, fs=fs, n_pad=S, n_frames_max=Tmax, m_max=m_max,
-            fft_len=fft_len, mag_dim=mag_dim, phase_dim=phase_dim,
-            mag_dim_ph=mag_dim_ph, alpha=alpha, alpha_phase=alpha_phase)
+        mml, mrm, mim, lf0, shift, n_marks, n_valid = \
+            _fused_track_compress_kernel(
+                *dev, fs=fs, n_pad=S, n_frames_max=Tmax, m_max=m_max,
+                fft_len=fft_len, mag_dim=mag_dim, phase_dim=phase_dim,
+                mag_dim_ph=mag_dim_ph, alpha=alpha,
+                alpha_phase=alpha_phase, fc_max=fc_max_for(S))
         n_marks = np.asarray(jax.device_get(n_marks))
-        Fa = min(m_max, bucket(int(n_marks.max()), FRM_STEP))
-        mml, mrm, mim, lf0, shift = jax.device_get(_trim_frames(
-            (mml, mrm, mim, lf0, shift), n=Fa))
+        n_valid = np.asarray(jax.device_get(n_valid))
+        Fa = bucket(int(n_valid.max()), FRM_STEP)
+        mml, mrm, mim, lf0 = jax.device_get(_trim_frames(
+            (mml, mrm, mim, lf0), n=Fa))
+        Fs_ = min(m_max, bucket(int(n_marks.max()), FRM_STEP))
+        shift = jax.device_get(_trim_frames((shift,), n=Fs_))[0]
         out = []
         for b in range(n_real):
-            n = int(n_marks[b])
+            n = int(n_valid[b])
             out.append((mml[b, :n].astype(np.float64),
                         mrm[b, :n].astype(np.float64),
                         mim[b, :n].astype(np.float64),
                         lf0[b, :n].astype(np.float64),
-                        shift[b, :n].astype(np.int64)))
+                        shift[b, :int(n_marks[b])].astype(np.int64)))
         return out
 
     # bucket the batch axis (dummy silent utterances, dropped on return)
@@ -370,17 +416,22 @@ def analysis_compressed_batch(signals: list, fs: int, mag_dim: int = 60,
         sigs_d, pm_d, nfrms_d, nsig_d, voi_d = shard_batch(
             mesh, sigs_d, pm_d, nfrms_d, nsig_d, voi_d)
 
-    mml, mrm, mim, lf0, shift = jax.device_get(_fused_compressed_kernel(
+    mml, mrm, mim, lf0, shift, n_valid = _fused_compressed_kernel(
         sigs_d, pm_d, nfrms_d, nsig_d, voi_d, fft_len=fft_len, fs=fs,
         mag_dim=mag_dim, phase_dim=phase_dim, mag_dim_ph=mag_dim_ph,
-        alpha=alpha, alpha_phase=alpha_phase))
+        alpha=alpha, alpha_phase=alpha_phase, fc_max=fc_max_for(S))
+    n_valid = np.asarray(jax.device_get(n_valid))
+    Fa = bucket(int(n_valid.max()), FRM_STEP)
+    mml, mrm, mim, lf0 = jax.device_get(_trim_frames(
+        (mml, mrm, mim, lf0), n=Fa))
+    shift = np.asarray(jax.device_get(shift))
 
     out = []
     for b in range(n_real):
-        n = nfrms[b]
+        n = int(n_valid[b])
         out.append((mml[b, :n].astype(np.float64),
                     mrm[b, :n].astype(np.float64),
                     mim[b, :n].astype(np.float64),
                     lf0[b, :n].astype(np.float64),
-                    shift[b, :n].astype(np.int64)))
+                    shift[b, :nfrms[b]].astype(np.int64)))
     return out

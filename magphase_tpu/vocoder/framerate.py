@@ -81,6 +81,55 @@ def interp_from_const_to_variable_rate(m_data, v_frm_locs_smpls,
     return out[:, 0] if squeeze else out
 
 
+def const_rate_resample_core(m_feats, f0, pm, n_frames, *,
+                             const_rate_smpls: float, fc_max: int):
+    """Variable -> constant rate for ONE padded utterance, on device.
+
+    The batched/fused form of analysis_compressed's const-rate block
+    (magphase.py:2967-2980): features are linearly interpolated onto the
+    5 ms grid (t=0 anchored with a duplicated first row), and f0 uses the
+    voiced-only interpolation trick — interpolate f0 over voiced frames
+    only, gate by interpolated voicing > 0.5.
+
+    m_feats: tuple of (F, D) arrays; f0 (F,); pm (F,) int samples;
+    n_frames: valid frame count.  Returns (outs, f0_const, n_const) where
+    rows past n_const are padding.
+    """
+    F = pm.shape[0]
+    valid = jnp.arange(F) < n_frames
+    pm_f = pm.astype(jnp.float32)
+    last_pm = pm_f[jnp.maximum(n_frames - 1, 0)]
+    BIG = jnp.float32(1e18)   # padding x: clamp weight underflows in f32
+
+    x = jnp.concatenate([jnp.zeros(1, jnp.float32),
+                         jnp.where(valid, pm_f, BIG)])
+    grid = (jnp.arange(fc_max, dtype=jnp.float32) + 1.0) * const_rate_smpls
+    n_const = jnp.sum(grid < last_pm).astype(jnp.int32)
+
+    outs = tuple(
+        interp_linear_axis0(x, jnp.concatenate([m[:1], m], axis=0), grid)
+        for m in m_feats)
+
+    # voiced-only f0 (magphase.py:2976-2980): sort voiced pms to the front,
+    # clamp the padding tail to the last voiced value so interpolation
+    # between the last voiced mark and the grid end stays constant
+    voi_b = valid & (f0 > 1.0)
+    xv = jnp.where(voi_b, pm_f, BIG)
+    order = jnp.argsort(xv)
+    xv_s = jnp.take(xv, order)
+    fv_s = jnp.take(f0, order)
+    nv = jnp.sum(voi_b)
+    last_f0 = fv_s[jnp.maximum(nv - 1, 0)]
+    fv_s = jnp.where(jnp.arange(F) < nv, fv_s, last_f0)
+    f0_i = interp_linear_axis0(
+        jnp.concatenate([jnp.zeros(1, jnp.float32), xv_s]),
+        jnp.concatenate([fv_s[:1], fv_s]), grid)
+    voi_i = interp_linear_axis0(
+        x, jnp.concatenate([voi_b[:1], voi_b]).astype(jnp.float32), grid)
+    f0_const = jnp.where((nv > 0) & (voi_i > 0.5), f0_i, 0.0)
+    return outs, f0_const, n_const
+
+
 def get_shifts_and_frm_locs_from_const_shifts(v_shift_c_rate: np.ndarray,
                                               frm_rate_ms: float, fs: int):
     """Backward walk recovering variable-rate frame locations from a

@@ -52,3 +52,35 @@ def test_compressed_batch_output_dims():
     assert np.all(np.abs(mrm) <= 1.0)
     voiced = lf0 > -1e9
     assert 0.1 < voiced.mean() < 0.9
+
+
+def test_compressed_batch_const_rate_matches_single():
+    """Batched const-rate (device regrid) vs the per-utterance oracle
+    (analysis_compressed b_const_rate=True) with identical epochs."""
+    from magphase_tpu.epochs.tracker import extract_epochs
+    from magphase_tpu.vocoder.compressed import analysis_compressed
+
+    tok = "hvd_593"
+    sig = _load(tok)
+    fs = 48000
+    pm_sec, voi = extract_epochs(sig, fs)
+
+    ref = analysis_compressed(f"{DATA}/{tok}.wav", mag_dim=60, phase_dim=45,
+                              b_const_rate=True, pm_sec=pm_sec, voi=voi)
+    mml_r, mrm_r, mim_r, lf0_r, sh_r = ref[:5]
+
+    out = analysis_compressed_batch([sig], fs, mag_dim=60, phase_dim=45,
+                                    b_const_rate=True,
+                                    epochs=[(pm_sec, voi)])
+    mml_b, mrm_b, mim_b, lf0_b, sh_b = out[0]
+
+    assert mml_b.shape == mml_r.shape
+    assert mrm_b.shape == mrm_r.shape
+    assert np.median(np.abs(mml_b - mml_r)) < 1e-4
+    assert np.percentile(np.abs(mml_b - mml_r), 99) < 2e-2
+    assert np.percentile(np.abs(mrm_b - mrm_r), 99) < 2e-2
+    # voicing decisions on the 5 ms grid must agree
+    assert np.mean((lf0_b > -1e9) == (lf0_r > -1e9)) > 0.99
+    # the shift track stays variable-rate
+    assert len(sh_b) == len(sh_r)
+    assert np.array_equal(sh_b, np.asarray(sh_r, np.int64))
