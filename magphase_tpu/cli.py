@@ -43,28 +43,35 @@ def cmd_extract(args) -> int:
         # device-batched production path: tracking + analysis + compression
         # fused in one program per chunk (vs one REAPER + three SPTK
         # subprocesses per utterance in the reference, stack SURVEY.md §3.2)
-        from .parallel.analysis_batch import analysis_compressed_batch
+        from .parallel.analysis_batch import analysis_compressed_batch_async
 
         def process_batch(chunk):
             sigs, fs = [], None
             for tok in chunk:
                 s, fs = read_wav(os.path.join(args.wav_dir, tok + ".wav"))
                 sigs.append(s)
-            feats = analysis_compressed_batch(
+            # async dispatch: the runner overlaps the next chunk's wav
+            # reads + upload with this chunk's device time
+            get_feats = analysis_compressed_batch_async(
                 sigs, fs, mag_dim=args.mag_dim, phase_dim=args.phase_dim,
                 fft_len=args.fft_len or None,
                 b_const_rate=args.const_rate)
-            for tok, (mml, mrm, mim, lf0, sh) in zip(chunk, feats):
-                write_featfile(mml, args.out_dir, tok + ".mag")
-                write_featfile(mrm, args.out_dir, tok + ".real")
-                write_featfile(mim, args.out_dir, tok + ".imag")
-                write_featfile(lf0, args.out_dir, tok + ".lf0")
-                if not args.const_rate:
-                    # const-rate features need no .shift
-                    # (analysis_for_acoustic_modelling, magphase.py:3014-3020)
-                    write_featfile(sh.astype("float32"), args.out_dir,
-                                   tok + ".shift")
-            return [len(s) / fs for s in sigs]
+
+            def finalize():
+                for tok, (mml, mrm, mim, lf0, sh) in zip(chunk, get_feats()):
+                    write_featfile(mml, args.out_dir, tok + ".mag")
+                    write_featfile(mrm, args.out_dir, tok + ".real")
+                    write_featfile(mim, args.out_dir, tok + ".imag")
+                    write_featfile(lf0, args.out_dir, tok + ".lf0")
+                    if not args.const_rate:
+                        # const-rate features need no .shift
+                        # (analysis_for_acoustic_modelling,
+                        # magphase.py:3014-3020)
+                        write_featfile(sh.astype("float32"), args.out_dir,
+                                       tok + ".shift")
+                return [len(s) / fs for s in sigs]
+
+            return finalize
 
         res = run_corpus_batched(tokens, process_batch, args.out_dir,
                                  batch_size=args.batch_size, config=config,

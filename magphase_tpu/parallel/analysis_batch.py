@@ -361,31 +361,10 @@ def analysis_compressed_batch(signals: list, fs: int, mag_dim: int = 60,
         return bucket(int(np.ceil(S / (fs * 5.0 / 1000.0))), FRM_STEP)
 
     if epochs is None:
-        # fused device path: tracking + placement + analysis + compression
-        signals, dev, S, Tmax, m_max, n_real = _device_signal_batch(
-            signals, fs, mesh)
-        mml, mrm, mim, lf0, shift, n_marks, n_valid = \
-            _fused_track_compress_kernel(
-                *dev, fs=fs, n_pad=S, n_frames_max=Tmax, m_max=m_max,
-                fft_len=fft_len, mag_dim=mag_dim, phase_dim=phase_dim,
-                mag_dim_ph=mag_dim_ph, alpha=alpha,
-                alpha_phase=alpha_phase, fc_max=fc_max_for(S))
-        n_marks = np.asarray(jax.device_get(n_marks))
-        n_valid = np.asarray(jax.device_get(n_valid))
-        Fa = bucket(int(n_valid.max()), FRM_STEP)
-        mml, mrm, mim, lf0 = jax.device_get(_trim_frames(
-            (mml, mrm, mim, lf0), n=Fa))
-        Fs_ = min(m_max, bucket(int(n_marks.max()), FRM_STEP))
-        shift = jax.device_get(_trim_frames((shift,), n=Fs_))[0]
-        out = []
-        for b in range(n_real):
-            n = int(n_valid[b])
-            out.append((mml[b, :n].astype(np.float64),
-                        mrm[b, :n].astype(np.float64),
-                        mim[b, :n].astype(np.float64),
-                        lf0[b, :n].astype(np.float64),
-                        shift[b, :int(n_marks[b])].astype(np.int64)))
-        return out
+        return analysis_compressed_batch_async(
+            signals, fs, mag_dim=mag_dim, phase_dim=phase_dim,
+            fft_len=fft_len, alpha_phase=alpha_phase,
+            b_const_rate=b_const_rate, mesh=mesh)()
 
     # bucket the batch axis (dummy silent utterances, dropped on return)
     n_real = len(signals)
@@ -435,3 +414,57 @@ def analysis_compressed_batch(signals: list, fs: int, mag_dim: int = 60,
                     lf0[b, :n].astype(np.float64),
                     shift[b, :nfrms[b]].astype(np.int64)))
     return out
+
+
+def analysis_compressed_batch_async(signals: list, fs: int,
+                                    mag_dim: int = 60, phase_dim: int = 45,
+                                    fft_len: int | None = None,
+                                    alpha_phase: float | None = None,
+                                    b_const_rate: bool = False,
+                                    mesh=None):
+    """Dispatch the fused tracker+analysis+compression program for one
+    utterance batch WITHOUT blocking; returns ``finalize() -> feats``.
+
+    JAX dispatch is asynchronous, so the caller can upload + launch the
+    next chunk (and do host file IO) while this one computes — the corpus
+    runner keeps two chunks in flight to overlap the host link with device
+    time (run_corpus_batched with deferred results).
+    """
+    alpha = define_alpha(fs)
+    if fft_len is None:
+        fft_len = define_fft_len(fs)
+    if alpha_phase is None:
+        alpha_phase = alpha
+    mag_dim_ph = get_num_full_mel_coeffs_from_num_phase_coeffs(
+        define_crossfade_params(fs)[0], phase_dim, alpha_phase, fs)
+
+    signals, dev, S, Tmax, m_max, n_real = _device_signal_batch(
+        signals, fs, mesh)
+    fc_max = (bucket(int(np.ceil(S / (fs * 5.0 / 1000.0))), FRM_STEP)
+              if b_const_rate else 0)
+    mml, mrm, mim, lf0, shift, n_marks, n_valid = \
+        _fused_track_compress_kernel(
+            *dev, fs=fs, n_pad=S, n_frames_max=Tmax, m_max=m_max,
+            fft_len=fft_len, mag_dim=mag_dim, phase_dim=phase_dim,
+            mag_dim_ph=mag_dim_ph, alpha=alpha, alpha_phase=alpha_phase,
+            fc_max=fc_max)
+
+    def finalize():
+        nm = np.asarray(jax.device_get(n_marks))
+        nv = np.asarray(jax.device_get(n_valid))
+        Fa = bucket(int(nv.max()), FRM_STEP)
+        a, b_, c, d = jax.device_get(_trim_frames(
+            (mml, mrm, mim, lf0), n=Fa))
+        Fs_ = min(m_max, bucket(int(nm.max()), FRM_STEP))
+        sh = jax.device_get(_trim_frames((shift,), n=Fs_))[0]
+        out = []
+        for b in range(n_real):
+            n = int(nv[b])
+            out.append((a[b, :n].astype(np.float64),
+                        b_[b, :n].astype(np.float64),
+                        c[b, :n].astype(np.float64),
+                        d[b, :n].astype(np.float64),
+                        sh[b, :int(nm[b])].astype(np.int64)))
+        return out
+
+    return finalize

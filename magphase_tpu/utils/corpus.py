@@ -90,14 +90,23 @@ def run_corpus(tokens, process_fn, out_dir: str, config: dict | None = None,
 
 def run_corpus_batched(tokens, process_batch_fn, out_dir: str,
                        batch_size: int = 8, config: dict | None = None,
-                       crash_list_path: str | None = None) -> CorpusResult:
+                       crash_list_path: str | None = None,
+                       pipeline_depth: int = 2) -> CorpusResult:
     """Run ``process_batch_fn(token_chunk) -> [audio_seconds, ...]`` over
     utterance chunks (device-batched pipelines).
 
     Keeps the reference's crash-list contract (SURVEY.md §5) at batch
     granularity: when a chunk fails it is retried one utterance at a time,
     so a single bad wav costs one singleton retry, not the whole chunk.
+
+    ``process_batch_fn`` may instead return a zero-arg ``finalize``
+    callable (deferred result — e.g. an async device dispatch whose
+    download happens in finalize): up to ``pipeline_depth`` chunks are
+    kept in flight so the next chunk's host IO + upload overlaps the
+    previous chunk's device time.
     """
+    from collections import deque
+
     os.makedirs(out_dir, exist_ok=True)
     manifest = Manifest(out_dir, config)
     res = CorpusResult()
@@ -114,27 +123,52 @@ def run_corpus_batched(tokens, process_batch_fn, out_dir: str,
             with open(crash_list_path, "a") as f:
                 f.write(tok + "\n")
 
+    def record_done(chunk, seconds):
+        for tok, s in zip(chunk, seconds):
+            res.metrics.add_audio(float(s))
+            manifest.mark(tok)
+            res.done.append(tok)
+        manifest.save()
+
+    def run_singletons(chunk):
+        """Per-utterance retries isolating the failing member(s)."""
+        for tok in chunk:
+            try:
+                with res.metrics.stage("process"):
+                    r = process_batch_fn([tok])
+                    if callable(r):
+                        r = r()
+                record_done([tok], [r[0]])
+            except Exception as e:
+                record_fail(tok, e)
+
+    inflight: deque = deque()   # (chunk, finalize)
+
+    def drain_one():
+        chunk, fin = inflight.popleft()
+        try:
+            with res.metrics.stage("process"):
+                seconds = fin()
+            record_done(chunk, seconds)
+        except Exception:
+            run_singletons(chunk)
+
     for i in range(0, len(pending), batch_size):
         chunk = pending[i:i + batch_size]
         try:
             with res.metrics.stage("process"):
-                seconds = process_batch_fn(chunk)
-            for tok, s in zip(chunk, seconds):
-                res.metrics.add_audio(float(s))
-                manifest.mark(tok)
-                res.done.append(tok)
+                r = process_batch_fn(chunk)
         except Exception:
-            # isolate the failing utterance(s) with singleton retries
-            for tok in chunk:
-                try:
-                    with res.metrics.stage("process"):
-                        seconds = process_batch_fn([tok])
-                    res.metrics.add_audio(float(seconds[0]))
-                    manifest.mark(tok)
-                    res.done.append(tok)
-                except Exception as e:
-                    record_fail(tok, e)
-        manifest.save()
+            run_singletons(chunk)
+            continue
+        if callable(r):
+            inflight.append((chunk, r))
+            while len(inflight) >= max(1, pipeline_depth):
+                drain_one()
+        else:
+            record_done(chunk, r)
+    while inflight:
+        drain_one()
     logger.info("corpus done: %d processed, %d skipped, %d failed",
                 len(res.done), len(res.skipped), len(res.failed))
     return res

@@ -38,3 +38,31 @@ def test_batched_isolation_and_resume(tmp_path):
     assert res2.done == ["utt_04"]
     assert len(res2.skipped) == 9
     assert calls == [("utt_04",)]
+
+
+def test_batched_deferred_pipeline(tmp_path):
+    """process_batch_fn returning finalize() callables: chunks overlap,
+    failures inside finalize still isolate to the bad utterance."""
+    out = str(tmp_path / "feats")
+    tokens = [f"utt_{i:02d}" for i in range(12)]
+    events = []
+
+    def process_batch(chunk):
+        events.append(("dispatch", tuple(chunk)))
+
+        def finalize():
+            events.append(("finalize", tuple(chunk)))
+            if "utt_06" in chunk and len(chunk) > 1:
+                raise RuntimeError("bad utterance in finalize")
+            return [1.0] * len(chunk)
+
+        return finalize
+
+    res = run_corpus_batched(tokens, process_batch, out, batch_size=4,
+                             pipeline_depth=2)
+    assert sorted(res.done) == tokens          # singles recover utt_06
+    assert res.failed == []
+    # pipelining: the second chunk was dispatched before the first finalized
+    d1 = events.index(("dispatch", tuple(tokens[4:8])))
+    f0 = events.index(("finalize", tuple(tokens[0:4])))
+    assert d1 < f0
