@@ -120,6 +120,21 @@ def cmd_generate(args) -> int:
         met.log_summary()
         return 0
 
+    # two chunks kept in flight: the next chunk's feature reads + upload
+    # overlap the previous chunk's device time (JAX dispatch is async)
+    from collections import deque
+    import numpy as np
+    inflight = deque()
+
+    def drain():
+        chunk, bufs, lens = inflight.popleft()
+        with met.stage("synthesis"):
+            bufs = jax.device_get(bufs)
+        for tok, buf, n in zip(chunk, bufs, lens):
+            write_audio_file(os.path.join(args.out_dir, tok + ".wav"),
+                             np.asarray(buf[:n], np.float64), args.fs)
+            met.add_audio(n / args.fs)
+
     for i in range(0, len(tokens), args.batch_size):
         chunk = tokens[i:i + args.batch_size]
         utts = []
@@ -132,13 +147,14 @@ def cmd_generate(args) -> int:
                 read_binfile(os.path.join(d, tok + ".lf0"), 1)))
         with met.stage("synthesis"):
             key, sub = jax.random.split(key)
-            wavs = synthesis_from_compressed_batch(
+            bufs, lens = synthesis_from_compressed_batch(
                 utts, args.fs, pf_type=args.pf_type, key=sub,
-                b_out_hpf=not args.no_hpf)
-        for tok, w in zip(chunk, wavs):
-            write_audio_file(os.path.join(args.out_dir, tok + ".wav"),
-                             w, args.fs)
-            met.add_audio(len(w) / args.fs)
+                b_out_hpf=not args.no_hpf, block_result=False)
+        inflight.append((chunk, bufs, lens))
+        while len(inflight) >= 2:
+            drain()
+    while inflight:
+        drain()
     met.log_summary()
     return 0
 
