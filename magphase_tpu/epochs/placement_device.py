@@ -14,10 +14,27 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .tracker import FRAME_STEP_S, FS_ANALYSIS
 
 _SNAP_WIN = 1280          # >= 1.3 * max period (960 @ 48k) samples
+
+
+def placement_m_max(n_pad_sig: int, fs: int, frm_step: int = 128) -> int:
+    """Worst-case mark-array capacity for the device epoch walk.
+
+    The densest legitimate mark train is sustained voicing at the
+    tracker's F0 ceiling (400 Hz, tracker.py F0_MAX): 400 marks/s.
+    Unvoiced regions step at 5 ms = 200 marks/s, always sparser.  The
+    capacity must be derived from *time*, not samples — a samples-based
+    heuristic (e.g. n//200) truncates every 16 kHz utterance.  Callers
+    still detect n_marks == m_max after the kernel (pathological inputs
+    can beat 400/s via the monotonicity guard) and fall back to the host
+    walk for those utterances.
+    """
+    n = int(np.ceil(400.0 * n_pad_sig / fs)) + 2
+    return max(frm_step, int(np.ceil(n / frm_step)) * frm_step)
 
 
 @functools.partial(jax.jit, static_argnames=("fs", "m_max"))

@@ -17,7 +17,7 @@ import numpy as np
 
 from ..config import define_alpha, define_crossfade_params, define_fft_len
 from ..epochs import tracker
-from ..epochs.placement_device import track_and_place_one
+from ..epochs.placement_device import placement_m_max, track_and_place_one
 from ..utils.padding import FRM_STEP, SIG_STEP, bucket, pad_to
 from ..vocoder.compressed import (
     _format_kernel, get_num_full_mel_coeffs_from_num_phase_coeffs)
@@ -103,7 +103,7 @@ def _device_signal_batch(signals: list, fs: int, mesh=None):
     sigs = np.stack([pad_to(np.asarray(s, np.float32), S) for s in signals])
     n_sigs = np.asarray([len(s) for s in signals], np.int32)
     n_frames, Tmax = _tracker_frame_geometry(signals, fs)
-    m_max = bucket(S // 200 + 2, FRM_STEP)
+    m_max = placement_m_max(S, fs, FRM_STEP)
 
     sigs_d = jnp.asarray(sigs)
     n_sigs_d = jnp.asarray(n_sigs)
@@ -261,6 +261,19 @@ def analysis_lossless_batch(signals: list, fs: int,
             f0 = (flags[b, :n].astype(np.float64) * fs /
                   np.maximum(sh, 1).astype(np.float64))
             out.append((mag[b, :n], real[b, :n], imag[b, :n], f0, sh))
+
+        trunc = [b for b in range(n_real) if int(n_marks[b]) >= m_max]
+        if trunc:
+            from ..epochs.tracker import extract_epochs
+            from ..utils.metrics import logger
+            logger.warning("epoch-walk capacity hit for %d utterance(s); "
+                           "host-walk fallback", len(trunc))
+            eps = [extract_epochs(signals[b], fs) for b in trunc]
+            fixed = analysis_lossless_batch(
+                [signals[b] for b in trunc], fs, fft_len=fft_len,
+                epochs=eps)
+            for j, b in enumerate(trunc):
+                out[b] = fixed[j]
         return out
 
     # bucket the batch axis (dummy silent utterances, dropped on return)
@@ -465,6 +478,23 @@ def analysis_compressed_batch_async(signals: list, fs: int,
                         c[b, :n].astype(np.float64),
                         d[b, :n].astype(np.float64),
                         sh[b, :int(nm[b])].astype(np.int64)))
+
+        # capacity-exhausted walks (pathological mark density): redo those
+        # utterances with the exact host epoch walk + given-epochs path
+        trunc = [b for b in range(n_real) if int(nm[b]) >= m_max]
+        if trunc:
+            from ..epochs.tracker import extract_epochs
+            from ..utils.metrics import logger
+            logger.warning("epoch-walk capacity hit for %d utterance(s); "
+                           "host-walk fallback", len(trunc))
+            eps = [extract_epochs(signals[b], fs) for b in trunc]
+            fixed = analysis_compressed_batch(
+                [signals[b] for b in trunc], fs, mag_dim=mag_dim,
+                phase_dim=phase_dim, fft_len=fft_len,
+                alpha_phase=alpha_phase, b_const_rate=b_const_rate,
+                epochs=eps)
+            for j, b in enumerate(trunc):
+                out[b] = fixed[j]
         return out
 
     return finalize

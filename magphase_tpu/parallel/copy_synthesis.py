@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..epochs import tracker
-from ..epochs.placement_device import track_and_place_one
+from ..epochs.placement_device import placement_m_max, track_and_place_one
 from ..utils.padding import FRM_STEP, SIG_STEP, bucket, pad_to
 from ..vocoder.lossless import _analysis_kernel, _synthesis_kernel
 from .mesh import shard_batch
@@ -70,7 +70,7 @@ def copy_synthesis_batch(signals: list, fs: int, fft_len: int = 4096,
         [max(1, ((len(s) * fs_a) // fs - (w + max_lag)) // step + 1)
          for s in signals], np.int32)
     Tmax = bucket(int(n_frames.max()), 128)
-    m_max = bucket(S // 200 + 2, FRM_STEP)
+    m_max = placement_m_max(S, fs, FRM_STEP)
     out_len_max = S + (1 << 14)
 
     sigs_d = jnp.asarray(sigs)
@@ -86,6 +86,11 @@ def copy_synthesis_batch(signals: list, fs: int, fft_len: int = 4096,
 
     if not block_result:
         return bufs, n_marks
+    nm = np.asarray(jax.device_get(n_marks))
+    if int(nm[:n_real].max(initial=0)) >= m_max:
+        from ..utils.metrics import logger
+        logger.warning("copy-synthesis epoch-walk capacity hit; output "
+                       "truncated for some utterance(s)")
     bufs = jax.device_get(bufs)
     out = []
     for b in range(n_real):

@@ -84,3 +84,31 @@ def test_compressed_batch_const_rate_matches_single():
     # the shift track stays variable-rate
     assert len(sh_b) == len(sh_r)
     assert np.array_equal(sh_b, np.asarray(sh_r, np.int64))
+
+
+def test_batched_16k_walk_covers_full_signal():
+    """The device mark walk's capacity must be time-based: at 16 kHz the
+    old samples-based heuristic truncated every utterance at ~58%."""
+    fs = 16000
+    t = np.arange(int(2.0 * fs)) / fs
+    sig = 0.4 * np.sign(np.sin(2 * np.pi * 220 * t)) * \
+        (0.6 + 0.4 * np.sin(2 * np.pi * 3 * t))
+    out = analysis_compressed_batch([sig], fs)
+    _, _, _, _, sh = out[0]
+    coverage = float(np.cumsum(sh)[-1]) / len(sig)
+    assert coverage > 0.95, f"walk covered only {coverage:.2f} of signal"
+
+
+def test_batched_high_pitch_no_truncation():
+    """Sustained voicing near the tracker F0 ceiling must not exhaust the
+    mark capacity (or, pathologically, must trigger the host fallback)."""
+    fs = 48000
+    t = np.arange(int(1.5 * fs)) / fs
+    sig = 0.4 * np.sign(np.sin(2 * np.pi * 390 * t))
+    out = analysis_compressed_batch([sig], fs)
+    _, _, _, lf0, sh = out[0]
+    coverage = float(np.cumsum(sh)[-1]) / len(sig)
+    assert coverage > 0.95, f"walk covered only {coverage:.2f} of signal"
+    # pitch recovered near 390 Hz in voiced frames
+    f0 = np.exp(lf0[lf0 > -1e9])
+    assert abs(np.median(f0) - 390) < 25
