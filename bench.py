@@ -50,11 +50,16 @@ def main():
     jax.block_until_ready(bufs)
     audio_s_per_iter = float(sum(out_lens)) / FS
 
+    # MAGPHASE_PROFILE_DIR=/tmp/trace writes a jax.profiler trace of the
+    # timed region (view with tensorboard / xprof)
+    from magphase_tpu.utils.metrics import profile_trace
+
     t0 = time.perf_counter()
-    for i in range(ITERS):
-        bufs, _ = synthesis_from_compressed_batch(
-            utts, FS, key=jax.random.PRNGKey(i), block_result=False)
-    jax.block_until_ready(bufs)
+    with profile_trace(os.environ.get("MAGPHASE_PROFILE_DIR")):
+        for i in range(ITERS):
+            bufs, _ = synthesis_from_compressed_batch(
+                utts, FS, key=jax.random.PRNGKey(i), block_result=False)
+        jax.block_until_ready(bufs)
     dt = time.perf_counter() - t0
 
     value = audio_s_per_iter * ITERS / dt
