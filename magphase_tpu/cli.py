@@ -46,10 +46,16 @@ def cmd_extract(args) -> int:
         from .parallel.analysis_batch import analysis_compressed_batch_async
 
         def process_batch(chunk):
-            sigs, fs = [], None
+            sigs, fss = [], []
             for tok in chunk:
-                s, fs = read_wav(os.path.join(args.wav_dir, tok + ".wav"))
+                s, f = read_wav(os.path.join(args.wav_dir, tok + ".wav"))
                 sigs.append(s)
+                fss.append(f)
+            if len(set(fss)) > 1:
+                # mixed-rate chunk: raising here drops the runner into
+                # singleton retries, where each file gets its own fs
+                raise ValueError(f"mixed sample rates in chunk: {set(fss)}")
+            fs = fss[0]
             # async dispatch: the runner overlaps the next chunk's wav
             # reads + upload with this chunk's device time
             get_feats = analysis_compressed_batch_async(
@@ -96,47 +102,39 @@ def cmd_extract(args) -> int:
 
 def cmd_generate(args) -> int:
     import jax
+    import numpy as np
     from .io import read_scp_file, mkdir, read_binfile, write_audio_file
     from .parallel.batch import synthesis_from_compressed_batch
-    from .utils.metrics import Metrics, setup_logging
-    from .vocoder.postfilter import post_filter, post_filter_merlin
+    from .utils.corpus import run_corpus, run_corpus_batched
+    from .utils.metrics import setup_logging
 
     setup_logging()
     tokens = read_scp_file(args.scp)
     mkdir(args.out_dir)
-    met = Metrics()
     key = jax.random.PRNGKey(args.seed)
+    config = {"fs": args.fs, "mag_dim": args.mag_dim,
+              "phase_dim": args.phase_dim, "pf_type": args.pf_type,
+              "const_rate": args.const_rate}
 
     if args.const_rate:
         # constant-rate inputs need the per-utterance backward shift walk
         from .vocoder import synthesis_from_acoustic_modelling
-        for tok in tokens:
-            with met.stage("synthesis"):
-                key, sub = jax.random.split(key)
-                synthesis_from_acoustic_modelling(
-                    args.feats_dir, tok, args.out_dir, args.mag_dim,
-                    args.phase_dim, args.fs, pf_type=args.pf_type,
-                    b_const_rate=True, key=sub)
-        met.log_summary()
-        return 0
 
-    # two chunks kept in flight: the next chunk's feature reads + upload
-    # overlap the previous chunk's device time (JAX dispatch is async)
-    from collections import deque
-    import numpy as np
-    inflight = deque()
+        def process(tok):
+            nonlocal key
+            key, sub = jax.random.split(key)
+            synthesis_from_acoustic_modelling(
+                args.feats_dir, tok, args.out_dir, args.mag_dim,
+                args.phase_dim, args.fs, pf_type=args.pf_type,
+                b_const_rate=True, key=sub)
 
-    def drain():
-        chunk, bufs, lens = inflight.popleft()
-        with met.stage("synthesis"):
-            bufs = jax.device_get(bufs)
-        for tok, buf, n in zip(chunk, bufs, lens):
-            write_audio_file(os.path.join(args.out_dir, tok + ".wav"),
-                             np.asarray(buf[:n], np.float64), args.fs)
-            met.add_audio(n / args.fs)
+        res = run_corpus(tokens, process, args.out_dir, config=config,
+                         crash_list_path=args.crash_list)
+        res.metrics.log_summary()
+        return 1 if res.failed else 0
 
-    for i in range(0, len(tokens), args.batch_size):
-        chunk = tokens[i:i + args.batch_size]
+    def process_batch(chunk):
+        nonlocal key
         utts = []
         for tok in chunk:
             d = args.feats_dir
@@ -145,18 +143,27 @@ def cmd_generate(args) -> int:
                 read_binfile(os.path.join(d, tok + ".real"), args.phase_dim),
                 read_binfile(os.path.join(d, tok + ".imag"), args.phase_dim),
                 read_binfile(os.path.join(d, tok + ".lf0"), 1)))
-        with met.stage("synthesis"):
-            key, sub = jax.random.split(key)
-            bufs, lens = synthesis_from_compressed_batch(
-                utts, args.fs, pf_type=args.pf_type, key=sub,
-                b_out_hpf=not args.no_hpf, block_result=False)
-        inflight.append((chunk, bufs, lens))
-        while len(inflight) >= 2:
-            drain()
-    while inflight:
-        drain()
-    met.log_summary()
-    return 0
+        key, sub = jax.random.split(key)
+        # async dispatch: the runner keeps two chunks in flight so the
+        # next chunk's feature reads + upload overlap this one's device time
+        bufs, lens = synthesis_from_compressed_batch(
+            utts, args.fs, pf_type=args.pf_type, key=sub,
+            b_out_hpf=not args.no_hpf, block_result=False)
+
+        def finalize():
+            host = jax.device_get(bufs)
+            for tok, buf, n in zip(chunk, host, lens):
+                write_audio_file(os.path.join(args.out_dir, tok + ".wav"),
+                                 np.asarray(buf[:n], np.float64), args.fs)
+            return [n / args.fs for n in lens[:len(chunk)]]
+
+        return finalize
+
+    res = run_corpus_batched(tokens, process_batch, args.out_dir,
+                             batch_size=args.batch_size, config=config,
+                             crash_list_path=args.crash_list)
+    res.metrics.log_summary()
+    return 1 if res.failed else 0
 
 
 def cmd_convert_labels(args) -> int:

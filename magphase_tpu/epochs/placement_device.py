@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.padding import bucket
 from .tracker import FRAME_STEP_S, FS_ANALYSIS
 
 _SNAP_WIN = 1280          # >= 1.3 * max period (960 @ 48k) samples
@@ -33,8 +34,7 @@ def placement_m_max(n_pad_sig: int, fs: int, frm_step: int = 128) -> int:
     can beat 400/s via the monotonicity guard) and fall back to the host
     walk for those utterances.
     """
-    n = int(np.ceil(400.0 * n_pad_sig / fs)) + 2
-    return max(frm_step, int(np.ceil(n / frm_step)) * frm_step)
+    return bucket(int(np.ceil(400.0 * n_pad_sig / fs)) + 2, frm_step)
 
 
 @functools.partial(jax.jit, static_argnames=("fs", "m_max"))

@@ -100,7 +100,10 @@ def _device_signal_batch(signals: list, fs: int, mesh=None):
     if B > n_real:
         signals = list(signals) + [np.zeros(1024)] * (B - n_real)
     S = bucket(max(len(s) for s in signals), SIG_STEP)
-    sigs = np.stack([pad_to(np.asarray(s, np.float32), S) for s in signals])
+    # preallocate + row assignment (no per-array np.pad copies)
+    sigs = np.zeros((B, S), np.float32)
+    for b, s in enumerate(signals):
+        sigs[b, :len(s)] = s
     n_sigs = np.asarray([len(s) for s in signals], np.int32)
     n_frames, Tmax = _tracker_frame_geometry(signals, fs)
     m_max = placement_m_max(S, fs, FRM_STEP)

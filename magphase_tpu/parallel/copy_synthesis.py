@@ -23,7 +23,7 @@ import numpy as np
 
 from ..epochs import tracker
 from ..epochs.placement_device import placement_m_max, track_and_place_one
-from ..utils.padding import FRM_STEP, SIG_STEP, bucket, pad_to
+from ..utils.padding import FRM_STEP, SIG_STEP, bucket
 from ..vocoder.lossless import _analysis_kernel, _synthesis_kernel
 from .mesh import shard_batch
 
@@ -59,17 +59,13 @@ def copy_synthesis_batch(signals: list, fs: int, fft_len: int = 4096,
     if B > n_real:
         signals = list(signals) + [np.zeros(1024)] * (B - n_real)
     S = bucket(max(len(s) for s in signals), SIG_STEP)
-    sigs = np.stack([pad_to(np.asarray(s, np.float32), S) for s in signals])
+    sigs = np.zeros((len(signals), S), np.float32)
+    for b, s in enumerate(signals):
+        sigs[b, :len(s)] = s
     n_sigs = np.asarray([len(s) for s in signals], np.int32)
 
-    fs_a = tracker.FS_ANALYSIS
-    step = int(round(tracker.FRAME_STEP_S * fs_a))
-    w = int(round(tracker.CORR_WIN_S * fs_a))
-    max_lag = int(round(fs_a / tracker.F0_MIN))
-    n_frames = np.asarray(
-        [max(1, ((len(s) * fs_a) // fs - (w + max_lag)) // step + 1)
-         for s in signals], np.int32)
-    Tmax = bucket(int(n_frames.max()), 128)
+    from .analysis_batch import _tracker_frame_geometry
+    n_frames, Tmax = _tracker_frame_geometry(signals, fs)
     m_max = placement_m_max(S, fs, FRM_STEP)
     out_len_max = S + (1 << 14)
 

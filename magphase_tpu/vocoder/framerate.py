@@ -126,7 +126,13 @@ def const_rate_resample_core(m_feats, f0, pm, n_frames, *,
         jnp.concatenate([fv_s[:1], fv_s]), grid)
     voi_i = interp_linear_axis0(
         x, jnp.concatenate([voi_b[:1], voi_b]).astype(jnp.float32), grid)
-    f0_const = jnp.where((nv > 0) & (voi_i > 0.5), f0_i, 0.0)
+    # zero everything past n_const: the clamped interpolation otherwise
+    # leaks the last voiced f0 into padding, and the downstream medfilt's
+    # final window would see it instead of the zero the host oracle
+    # (scipy zero-padding) sees
+    in_range = jnp.arange(fc_max) < n_const
+    f0_const = jnp.where(in_range & (nv > 0) & (voi_i > 0.5), f0_i, 0.0)
+    outs = tuple(jnp.where(in_range[:, None], o, 0.0) for o in outs)
     return outs, f0_const, n_const
 
 

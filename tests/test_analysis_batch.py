@@ -81,6 +81,10 @@ def test_compressed_batch_const_rate_matches_single():
     assert np.percentile(np.abs(mrm_b - mrm_r), 99) < 2e-2
     # voicing decisions on the 5 ms grid must agree
     assert np.mean((lf0_b > -1e9) == (lf0_r > -1e9)) > 0.99
+    # lf0 values (incl. the final frame, where medfilt sees the padding
+    # neighbour) must match the host oracle
+    m = (lf0_b > -1e9) & (lf0_r > -1e9)
+    assert np.max(np.abs(lf0_b[m] - lf0_r[m])) < 2e-3
     # the shift track stays variable-rate
     assert len(sh_b) == len(sh_r)
     assert np.array_equal(sh_b, np.asarray(sh_r, np.int64))
