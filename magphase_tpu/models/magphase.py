@@ -60,6 +60,20 @@ class MagPhaseVocoder:
             wav_file, out_dir, fft_len=self.fft_len, mag_dim=self.mag_dim,
             phase_dim=self.phase_dim, b_const_rate=self.b_const_rate, **kw)
 
+    def analyze_batch(self, signals: list, mesh=None, **kw) -> list:
+        """Batched compressed analysis over a data mesh (the fused
+        tracker+analysis+compression production path)."""
+        from ..parallel.analysis_batch import analysis_compressed_batch
+        return analysis_compressed_batch(
+            signals, self.fs, mag_dim=self.mag_dim,
+            phase_dim=self.phase_dim, fft_len=self.fft_len,
+            b_const_rate=self.b_const_rate, mesh=mesh, **kw)
+
+    def analyze_lossless_batch(self, signals: list, mesh=None, **kw) -> list:
+        from ..parallel.analysis_batch import analysis_lossless_batch
+        return analysis_lossless_batch(signals, self.fs,
+                                       fft_len=self.fft_len, mesh=mesh, **kw)
+
     # ----- synthesis -----------------------------------------------------
     def synthesize_lossless(self, m_mag, m_real, m_imag, v_f0) -> np.ndarray:
         from ..vocoder import synthesis_from_lossless

@@ -22,7 +22,7 @@ from ..utils.padding import FRM_STEP, SIG_STEP, bucket, pad_to
 from ..vocoder.compressed import (
     _format_kernel, get_num_full_mel_coeffs_from_num_phase_coeffs)
 from ..vocoder.lossless import _analysis_kernel
-from .mesh import shard_batch
+from .mesh import batch_step, shard_batch
 
 
 @functools.partial(jax.jit, static_argnames=("fs", "n_pad", "n_frames_max"))
@@ -96,7 +96,7 @@ def _device_signal_batch(signals: list, fs: int, mesh=None):
     optionally sharded over a 1-D data mesh.
     """
     n_real = len(signals)
-    B = bucket(n_real, 8)
+    B = bucket(n_real, batch_step(mesh))
     if B > n_real:
         signals = list(signals) + [np.zeros(1024)] * (B - n_real)
     S = bucket(max(len(s) for s in signals), SIG_STEP)
@@ -281,7 +281,7 @@ def analysis_lossless_batch(signals: list, fs: int,
 
     # bucket the batch axis (dummy silent utterances, dropped on return)
     n_real = len(signals)
-    B = bucket(n_real, 8)
+    B = bucket(n_real, batch_step(mesh))
     if B > n_real:
         d_sig = np.zeros(1024)
         d_ep = (np.asarray([100, 300]) / float(fs), np.zeros(2))
@@ -384,7 +384,7 @@ def analysis_compressed_batch(signals: list, fs: int, mag_dim: int = 60,
 
     # bucket the batch axis (dummy silent utterances, dropped on return)
     n_real = len(signals)
-    B = bucket(n_real, 8)
+    B = bucket(n_real, batch_step(mesh))
     if B > n_real:
         d_sig = np.zeros(1024)
         d_ep = (np.asarray([100, 300]) / float(fs), np.zeros(2))

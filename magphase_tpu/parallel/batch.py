@@ -30,7 +30,7 @@ from ..vocoder.compressed import (
     _unwarp_kernel, get_num_full_mel_coeffs_from_num_phase_coeffs,
     synthesis_core_batch)
 from ..vocoder.postfilter import post_filter, post_filter_merlin
-from .mesh import shard_batch
+from .mesh import batch_step, shard_batch
 
 
 @functools.partial(
@@ -107,7 +107,7 @@ def synthesis_from_compressed_batch(utts, fs: int,
     # same compiled program (dummy 2-frame unvoiced utterances, dropped on
     # return)
     n_real = len(utts)
-    B = bucket(n_real, 8)
+    B = bucket(n_real, batch_step(mesh))
     if B > n_real:
         dummy = (np.full((2, mag_dim), -3.0, np.float32),
                  np.zeros((2, phase_dim), np.float32),

@@ -25,7 +25,7 @@ from ..epochs import tracker
 from ..epochs.placement_device import placement_m_max, track_and_place_one
 from ..utils.padding import FRM_STEP, SIG_STEP, bucket
 from ..vocoder.lossless import _analysis_kernel, _synthesis_kernel
-from .mesh import shard_batch
+from .mesh import batch_step, shard_batch
 
 
 @functools.partial(jax.jit, static_argnames=("fs", "n_pad", "n_frames_max",
@@ -55,7 +55,7 @@ def copy_synthesis_batch(signals: list, fs: int, fft_len: int = 4096,
     device buffer + per-utterance mark counts when block_result=False)."""
     # bucket the batch axis (dummy silent utterances, dropped on return)
     n_real = len(signals)
-    B = bucket(n_real, 8)
+    B = bucket(n_real, batch_step(mesh))
     if B > n_real:
         signals = list(signals) + [np.zeros(1024)] * (B - n_real)
     S = bucket(max(len(s) for s in signals), SIG_STEP)

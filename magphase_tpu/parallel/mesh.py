@@ -41,6 +41,15 @@ def pad_batch_to_devices(n: int, n_devices: int) -> int:
     return int(np.ceil(n / n_devices)) * n_devices
 
 
+def batch_step(mesh: Mesh | None, base: int = 8) -> int:
+    """Bucket step for the batch axis: a multiple of ``base`` (compile-
+    variant bounding) that the mesh size divides (even sharding)."""
+    import math
+    if mesh is None:
+        return base
+    return math.lcm(base, mesh.size)
+
+
 def maybe_initialize_distributed() -> None:
     """Multi-host initialisation (jax.distributed) — no-op when the
     coordinator env vars are absent (single host)."""

@@ -74,3 +74,22 @@ def test_analysis_batch_sharded_over_mesh():
                                   mesh=mesh)
     for (a, b) in zip(ref, got):
         np.testing.assert_allclose(a[0], b[0], atol=1e-6)
+
+
+def test_mesh_size_not_dividing_base_bucket():
+    """A mesh whose size does not divide the base batch bucket (8) must
+    still shard evenly (lcm bucketing): 3 devices, 2 real utterances."""
+    import jax
+    import numpy as np
+    from magphase_tpu.parallel.mesh import data_mesh
+    from magphase_tpu.parallel.analysis_batch import analysis_compressed_batch
+
+    mesh = data_mesh(3)
+    rng = np.random.RandomState(0)
+    t = np.arange(6000) / 48000.0
+    sigs = [np.sin(2 * np.pi * 130 * t) * 0.5,
+            np.sin(2 * np.pi * 170 * t) * 0.5]
+    out = analysis_compressed_batch(sigs, 48000, mag_dim=20, phase_dim=10,
+                                    fft_len=512, mesh=mesh)
+    assert len(out) == 2
+    assert all(np.all(np.isfinite(o[0])) for o in out)
