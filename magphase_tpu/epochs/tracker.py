@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.padding import bucket
+from ..utils.padding import bucket, bucket_signal
 
 # tracker constants (REAPER flag parity: -x 400 -m 50 -u 0.005)
 F0_MIN = 50.0
@@ -219,7 +219,7 @@ def track_f0(v_sig: np.ndarray, fs: int):
     f0 is 0 in unvoiced frames; frame t covers time t*FRAME_STEP_S.
     """
     sig = jnp.asarray(np.asarray(v_sig, np.float32))
-    n_pad = bucket(sig.shape[0], 1 << 15)
+    n_pad = bucket_signal(sig.shape[0])
     sig_p = jnp.concatenate(
         [sig, jnp.zeros(n_pad - sig.shape[0], sig.dtype)])
     xa, y_snap = _preprocess(sig_p, fs=fs, n_pad=n_pad)

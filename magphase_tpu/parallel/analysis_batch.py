@@ -18,7 +18,7 @@ import numpy as np
 from ..config import define_alpha, define_crossfade_params, define_fft_len
 from ..epochs import tracker
 from ..epochs.placement_device import placement_m_max, track_and_place_one
-from ..utils.padding import FRM_STEP, SIG_STEP, bucket, pad_to
+from ..utils.padding import FRM_STEP, bucket, bucket_signal, pad_to
 from ..vocoder.compressed import (
     _format_kernel, get_num_full_mel_coeffs_from_num_phase_coeffs)
 from ..vocoder.lossless import _analysis_kernel
@@ -42,7 +42,7 @@ def _track_batch_kernel(sigs, n_frames, *, fs: int, n_pad: int,
 def track_f0_batch(signals: list, fs: int):
     """Batched F0 tracks.  Returns list of (f0, voiced, y_snap)."""
     B = len(signals)
-    S = bucket(max(len(s) for s in signals), SIG_STEP)
+    S = bucket_signal(max(len(s) for s in signals))
     sigs = np.stack([pad_to(np.asarray(s, np.float32), S) for s in signals])
 
     fs_a = tracker.FS_ANALYSIS
@@ -99,7 +99,7 @@ def _device_signal_batch(signals: list, fs: int, mesh=None):
     B = bucket(n_real, batch_step(mesh))
     if B > n_real:
         signals = list(signals) + [np.zeros(1024)] * (B - n_real)
-    S = bucket(max(len(s) for s in signals), SIG_STEP)
+    S = bucket_signal(max(len(s) for s in signals))
     # preallocate + row assignment (no per-array np.pad copies)
     sigs = np.zeros((B, S), np.float32)
     for b, s in enumerate(signals):
@@ -293,7 +293,7 @@ def analysis_lossless_batch(signals: list, fs: int,
     vois = [np.asarray(v, np.float64) for _, v in epochs]
     nfrms = [len(p) for p in pms]
 
-    S = bucket(max(len(s) for s in signals), SIG_STEP)
+    S = bucket_signal(max(len(s) for s in signals))
     F = bucket(max(nfrms), FRM_STEP)
     sigs_d = jnp.asarray(np.stack(
         [pad_to(np.asarray(s, np.float32), S) for s in signals]))
@@ -396,7 +396,7 @@ def analysis_compressed_batch(signals: list, fs: int, mag_dim: int = 60,
     vois = [np.asarray(v, np.float64) for _, v in epochs]
     nfrms = [len(p) for p in pms]
 
-    S = bucket(max(len(s) for s in signals), SIG_STEP)
+    S = bucket_signal(max(len(s) for s in signals))
     F = bucket(max(nfrms), FRM_STEP)
     sigs_d = jnp.asarray(np.stack(
         [pad_to(np.asarray(s, np.float32), S) for s in signals]))

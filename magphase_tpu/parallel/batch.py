@@ -25,7 +25,7 @@ import numpy as np
 
 from ..config import define_alpha, define_crossfade_params, define_fft_len
 from ..core.filters import butter_highpass_sos, sosfilt
-from ..utils.padding import FRM_STEP, SIG_STEP, bucket
+from ..utils.padding import FRM_STEP, bucket, bucket_signal
 from ..vocoder.compressed import (
     _unwarp_kernel, get_num_full_mel_coeffs_from_num_phase_coeffs,
     synthesis_core_batch)
@@ -141,8 +141,8 @@ def synthesis_from_compressed_batch(utts, fs: int,
     prev = pm_b[rows, np.maximum(nfrms - 2, 0)]
     ns_lens = last + (last - prev)
     out_lens = (ns_lens + 1).tolist()
-    O = bucket(int(max(out_lens)), SIG_STEP)
-    NS = bucket(int(ns_lens.max()), SIG_STEP)
+    O = bucket_signal(int(max(out_lens)))
+    NS = bucket_signal(int(ns_lens.max()))
 
     args = (jnp.asarray(feats),
             jnp.asarray(voi_b.astype(np.float32)),

@@ -23,7 +23,7 @@ import numpy as np
 
 from ..epochs import tracker
 from ..epochs.placement_device import placement_m_max, track_and_place_one
-from ..utils.padding import FRM_STEP, SIG_STEP, bucket
+from ..utils.padding import FRM_STEP, bucket, bucket_signal
 from ..vocoder.lossless import _analysis_kernel, _synthesis_kernel
 from .mesh import batch_step, shard_batch
 
@@ -58,7 +58,7 @@ def copy_synthesis_batch(signals: list, fs: int, fft_len: int = 4096,
     B = bucket(n_real, batch_step(mesh))
     if B > n_real:
         signals = list(signals) + [np.zeros(1024)] * (B - n_real)
-    S = bucket(max(len(s) for s in signals), SIG_STEP)
+    S = bucket_signal(max(len(s) for s in signals))
     sigs = np.zeros((len(signals), S), np.float32)
     for b, s in enumerate(signals):
         sigs[b, :len(s)] = s

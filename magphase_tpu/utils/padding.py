@@ -17,6 +17,32 @@ SIG_STEP = 1 << 15       # 32768 samples (~0.68 s @ 48 kHz)
 FRM_STEP = 128           # frames
 
 
+def _geom_grid(ratio: float = 1.25, max_units: int = 4096):
+    """1, 2, 3, 4, 5, 7, 9, 12, ... — ~ratio-spaced integer unit counts."""
+    grid = [1]
+    while grid[-1] < max_units:
+        grid.append(max(grid[-1] + 1, int(np.ceil(grid[-1] * ratio))))
+    return np.asarray(grid)
+
+
+_SIG_GRID = _geom_grid() * SIG_STEP
+
+
+def bucket_signal(n: int) -> int:
+    """Geometric signal-length bucket (multiples of SIG_STEP, ~1.25x
+    spaced).
+
+    Linear SIG_STEP bucketing creates one compiled program variant per
+    32768 samples of corpus length spread (~90 variants for a 60 s
+    utterance at 48 kHz, each a slow remote compile); the geometric grid
+    bounds variants logarithmically at <=25% padding waste — and padding
+    in the signal axis costs little since frame-axis transfers are
+    trimmed to realised counts.
+    """
+    i = int(np.searchsorted(_SIG_GRID, n))
+    return int(_SIG_GRID[min(i, len(_SIG_GRID) - 1)])
+
+
 def pad_to(arr: np.ndarray, n: int, axis: int = 0, value=0) -> np.ndarray:
     pad = n - arr.shape[axis]
     if pad <= 0:

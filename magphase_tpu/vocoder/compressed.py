@@ -36,7 +36,7 @@ from ..core.spectral import (build_mel_curve, crossfade_down_win_np, db,
 from ..core.windows import HANNING, VOI_NOISE
 from ..io import wav as wav_io
 from ..io.featfile import read_binfile, write_featfile
-from ..utils.padding import FRM_STEP, SIG_STEP, bucket, pad_to
+from ..utils.padding import FRM_STEP, bucket, bucket_signal, pad_to
 from . import framerate, lossless
 from .postfilter import post_filter, post_filter_merlin
 
@@ -391,8 +391,8 @@ def synthesis_from_compressed(m_mag_mel_log, m_real_mel, m_imag_mel, v_lf0,
     out_len = int(v_pm[-1] + shift_last + 1)
 
     F = bucket(nfrms, FRM_STEP)
-    O = bucket(out_len, SIG_STEP)
-    NS = bucket(ns_len, SIG_STEP)
+    O = bucket_signal(out_len)
+    NS = bucket_signal(ns_len)
 
     def _pad_rows(x):
         x = jnp.asarray(x, jnp.float32)

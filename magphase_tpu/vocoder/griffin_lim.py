@@ -16,7 +16,7 @@ import numpy as np
 from ..core import framing
 from ..core.spectral import build_min_phase_from_mag_spec
 from ..core.windows import HANNING
-from ..utils.padding import FRM_STEP, SIG_STEP, bucket, pad_to
+from ..utils.padding import FRM_STEP, bucket, bucket_signal, pad_to
 
 
 @functools.partial(jax.jit, static_argnames=("fft_len", "niters",
@@ -79,7 +79,7 @@ def griffin_lim(m_mag, v_shift, phase_init: str = "random",
     out_len = int(v_pm[-1] + (v_pm[-1] - v_pm[-2]) + 1)
 
     F = bucket(nfrms, FRM_STEP)
-    O = bucket(out_len, SIG_STEP)
+    O = bucket_signal(out_len)
     v_sig, m_phase = _griffin_lim_kernel(
         jnp.asarray(pad_to(m_mag.astype(np.float32), F)),
         jnp.asarray(pad_to(v_pm.astype(np.int32), F)),

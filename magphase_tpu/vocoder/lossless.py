@@ -24,7 +24,7 @@ from ..core.windows import HANNING
 from ..io import est as est_io
 from ..io import wav as wav_io
 from ..io.featfile import write_featfile
-from ..utils.padding import SIG_STEP, FRM_STEP, bucket, pad_to
+from ..utils.padding import FRM_STEP, bucket, bucket_signal, pad_to
 
 _f32 = jnp.float32
 
@@ -128,7 +128,7 @@ def analysis_with_del_comp_from_pm_type2(v_in_sig: np.ndarray, fs: int,
     nfrms = pm.shape[0]
     n_sig = v_in_sig.shape[0]
     F = bucket(nfrms, FRM_STEP)
-    S = bucket(n_sig, SIG_STEP)
+    S = bucket_signal(n_sig)
 
     mag, real, imag, shift, gain = _analysis_type2_kernel(
         jnp.asarray(pad_to(np.asarray(v_in_sig, np.float32), S)),
@@ -176,7 +176,7 @@ def analysis_with_del_comp_from_pm(v_in_sig: np.ndarray, fs: int,
     n_sig = v_in_sig.shape[0]
 
     F = bucket(nfrms, FRM_STEP)
-    S = bucket(n_sig, SIG_STEP)
+    S = bucket_signal(n_sig)
 
     sig_d = jnp.asarray(pad_to(np.asarray(v_in_sig, np.float32), S))
     pm_d = jnp.asarray(pad_to(pm.astype(np.int32), F))
@@ -273,7 +273,7 @@ def synthesis_with_del_comp(m_sp: np.ndarray, m_ph: np.ndarray,
     out_len = int(v_pm[-1] + fft_len - (fft_len // 2 - v_shift[0]))
 
     F = bucket(nfrms, FRM_STEP)
-    O = bucket(out_len, SIG_STEP)
+    O = bucket_signal(out_len)
     spec = (m_sp * np.exp(1j * m_ph)).astype(np.complex64)
     m_frm = np.fft.irfft(spec, n=fft_len).astype(np.float32)
     m_frm = np.roll(m_frm, fft_len // 2, axis=1)      # fftshift (even N)
@@ -299,7 +299,7 @@ def synthesis_from_lossless(m_mag: np.ndarray, m_real: np.ndarray,
     out_len = int(v_pm[-1] + v_shift_i[-1] + 1)
 
     F = bucket(nfrms, FRM_STEP)
-    O = bucket(out_len, SIG_STEP)
+    O = bucket_signal(out_len)
 
     mag_d = jnp.asarray(pad_to(m_mag.astype(np.float32), F))
     real_d = jnp.asarray(pad_to(m_real.astype(np.float32), F))

@@ -27,7 +27,7 @@ from ..core.spectral import (build_mel_curve, crossfade_down_win_np, db,
                              protected_log, true_envelope,
                              build_min_phase_from_mag_spec)
 from ..core.windows import HANNING, VOI_NOISE
-from ..utils.padding import FRM_STEP, SIG_STEP, bucket, pad_to
+from ..utils.padding import FRM_STEP, bucket, bucket_signal, pad_to
 from . import framerate, lossless
 from .compressed import get_num_full_mel_coeffs_from_num_phase_coeffs
 
@@ -165,8 +165,8 @@ def synthesis_from_compressed_type2(m_mag_mel_log, m_real_mel, m_imag_mel,
     out_len = int(v_pm[-1] + (v_pm[-1] - v_pm[-2]) + 1)
 
     F = bucket(nfrms, FRM_STEP)
-    NS = bucket(ns_len, SIG_STEP)
-    O = bucket(out_len, SIG_STEP)
+    NS = bucket_signal(ns_len)
+    O = bucket_signal(out_len)
 
     def padf(x):
         x = jnp.asarray(x, jnp.float32) if not jnp.iscomplexobj(x) else x
@@ -207,8 +207,8 @@ def _legacy_noise_synthesis(m_mag, m_real, m_imag, v_voi, v_shift, fs,
     out_len = int(v_pm[-1] + (v_pm[-1] - v_pm[-2]) + 1)
 
     F = bucket(nfrms, FRM_STEP)
-    NS = bucket(ns_len, SIG_STEP)
-    O = bucket(out_len, SIG_STEP)
+    NS = bucket_signal(ns_len)
+    O = bucket_signal(out_len)
 
     def padf(x):
         x = jnp.asarray(x, jnp.float32)

@@ -48,3 +48,20 @@ def test_masks_and_frame_shift():
     mask = np.asarray(mask)
     assert mask.shape == (6, 2049)
     assert np.all((mask >= 0) & (mask <= 1.0 + 1e-6))
+
+
+def test_bucket_signal_geometric():
+    from magphase_tpu.utils.padding import SIG_STEP, bucket_signal
+    # multiples of SIG_STEP, monotone, <=25% overshoot, log-many variants
+    assert bucket_signal(1) == SIG_STEP
+    assert bucket_signal(163840) == 163840          # demo-corpus bucket
+    prev = 0
+    variants = set()
+    for n in range(1, 300):
+        b = bucket_signal(n * 16384)
+        assert b % SIG_STEP == 0 and b >= n * 16384
+        assert b <= max(SIG_STEP, int(n * 16384 * 1.25) + SIG_STEP)
+        assert b >= prev
+        prev = b
+        variants.add(b)
+    assert len(variants) < 25   # ~90 linear buckets collapse to ~20
