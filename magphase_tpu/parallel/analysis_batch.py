@@ -18,10 +18,10 @@ import numpy as np
 from ..config import define_alpha, define_crossfade_params, define_fft_len
 from ..epochs import tracker
 from ..epochs.placement_device import placement_m_max, track_and_place_one
-from ..utils.padding import FRM_STEP, bucket, bucket_signal, pad_to
+from ..utils.padding import (FRM_STEP, MAX_FRAME_ELEMS, bucket,
+                             bucket_signal, pad_to)
 from ..vocoder.compressed import (
     _format_kernel, get_num_full_mel_coeffs_from_num_phase_coeffs)
-from ..vocoder.lossless import _analysis_kernel
 from .mesh import batch_step, shard_batch
 
 
@@ -87,26 +87,51 @@ def _tracker_frame_geometry(signals: list, fs: int):
     return n_frames, bucket(int(n_frames.max()), 128)
 
 
-def _device_signal_batch(signals: list, fs: int, mesh=None):
+def _budget_geometry(signals: list, fs: int, fft_len: int, mesh=None):
+    """(S, m_max, max_batch): signal bucket, worst-case frame capacity of
+    the longest utterance, and the largest device batch whose fused
+    program stays inside the HBM temp budget (MAX_FRAME_ELEMS row-elems —
+    long utterances mean fewer utterances per program)."""
+    S = bucket_signal(max(len(s) for s in signals))
+    m_max = placement_m_max(S, fs, FRM_STEP)
+    max_b = max(1, int(MAX_FRAME_ELEMS // (m_max * fft_len)))
+    if mesh is not None:
+        max_b = max(mesh.size, (max_b // mesh.size) * mesh.size)
+    return S, m_max, max_b
+
+
+def _split_for_budget(signals: list, fs: int, fft_len: int, mesh=None):
+    """Split an utterance list into groups that each fit the HBM budget."""
+    _, _, max_b = _budget_geometry(signals, fs, fft_len, mesh)
+    if len(signals) <= max_b:
+        return [signals]
+    return [signals[i:i + max_b] for i in range(0, len(signals), max_b)]
+
+
+def _device_signal_batch(signals: list, fs: int, mesh=None,
+                         fft_len: int = 4096):
     """Bucket/pad a list of signals for the fused tracker kernels.
 
     Returns (signals_incl_dummies, (sigs_d, n_sigs_d, n_frames_d),
-    S, Tmax, m_max, n_real).  The batch axis is padded to a multiple of 8
-    with short silent dummies (dropped by the caller on return) and
-    optionally sharded over a 1-D data mesh.
+    S, Tmax, m_max, n_real).  The batch axis is padded with short silent
+    dummies to a bucket step (compile-variant bounding) capped by the HBM
+    budget — a single long utterance must not be padded to a batch of 8 —
+    and optionally sharded over a 1-D data mesh.
     """
     n_real = len(signals)
-    B = bucket(n_real, batch_step(mesh))
+    S, m_max, max_b = _budget_geometry(signals, fs, fft_len, mesh)
+    step = min(batch_step(mesh), max(1, max_b))
+    if mesh is not None:
+        step = max(mesh.size, (step // mesh.size) * mesh.size)
+    B = bucket(n_real, step)
     if B > n_real:
         signals = list(signals) + [np.zeros(1024)] * (B - n_real)
-    S = bucket_signal(max(len(s) for s in signals))
     # preallocate + row assignment (no per-array np.pad copies)
     sigs = np.zeros((B, S), np.float32)
     for b, s in enumerate(signals):
         sigs[b, :len(s)] = s
     n_sigs = np.asarray([len(s) for s in signals], np.int32)
     n_frames, Tmax = _tracker_frame_geometry(signals, fs)
-    m_max = placement_m_max(S, fs, FRM_STEP)
 
     sigs_d = jnp.asarray(sigs)
     n_sigs_d = jnp.asarray(n_sigs)
@@ -247,37 +272,42 @@ def analysis_lossless_batch(signals: list, fs: int,
         fft_len = define_fft_len(fs)
 
     if epochs is None:
-        # fused device path: tracking + placement + analysis in one program
-        signals, dev, S, Tmax, m_max, n_real = _device_signal_batch(
-            signals, fs, mesh)
-        mag, real, imag, shift, flags, n_marks = _fused_track_lossless_kernel(
-            *dev, fs=fs, n_pad=S, n_frames_max=Tmax, m_max=m_max,
-            fft_len=fft_len)
-        n_marks = np.asarray(jax.device_get(n_marks))
-        Fa = min(m_max, bucket(int(n_marks.max()), FRM_STEP))
-        mag, real, imag, shift, flags = jax.device_get(_trim_frames(
-            (mag, real, imag, shift, flags), n=Fa))
-        out = []
-        for b in range(n_real):
-            n = int(n_marks[b])
-            sh = shift[b, :n].astype(np.int64)
-            f0 = (flags[b, :n].astype(np.float64) * fs /
-                  np.maximum(sh, 1).astype(np.float64))
-            out.append((mag[b, :n], real[b, :n], imag[b, :n], f0, sh))
+        # fused device path: tracking + placement + analysis in one
+        # program, split into sub-batches under the HBM budget
+        all_out = []
+        for group in _split_for_budget(signals, fs, fft_len, mesh):
+            signals_g, dev, S, Tmax, m_max, n_real = _device_signal_batch(
+                group, fs, mesh, fft_len=fft_len)
+            mag, real, imag, shift, flags, n_marks = \
+                _fused_track_lossless_kernel(
+                    *dev, fs=fs, n_pad=S, n_frames_max=Tmax, m_max=m_max,
+                    fft_len=fft_len)
+            n_marks = np.asarray(jax.device_get(n_marks))
+            Fa = min(m_max, bucket(int(n_marks.max()), FRM_STEP))
+            mag, real, imag, shift, flags = jax.device_get(_trim_frames(
+                (mag, real, imag, shift, flags), n=Fa))
+            out = []
+            for b in range(n_real):
+                n = int(n_marks[b])
+                sh = shift[b, :n].astype(np.int64)
+                f0 = (flags[b, :n].astype(np.float64) * fs /
+                      np.maximum(sh, 1).astype(np.float64))
+                out.append((mag[b, :n], real[b, :n], imag[b, :n], f0, sh))
 
-        trunc = [b for b in range(n_real) if int(n_marks[b]) >= m_max]
-        if trunc:
-            from ..epochs.tracker import extract_epochs
-            from ..utils.metrics import logger
-            logger.warning("epoch-walk capacity hit for %d utterance(s); "
-                           "host-walk fallback", len(trunc))
-            eps = [extract_epochs(signals[b], fs) for b in trunc]
-            fixed = analysis_lossless_batch(
-                [signals[b] for b in trunc], fs, fft_len=fft_len,
-                epochs=eps)
-            for j, b in enumerate(trunc):
-                out[b] = fixed[j]
-        return out
+            trunc = [b for b in range(n_real) if int(n_marks[b]) >= m_max]
+            if trunc:
+                from ..epochs.tracker import extract_epochs
+                from ..utils.metrics import logger
+                logger.warning("epoch-walk capacity hit for %d utterance(s);"
+                               " host-walk fallback", len(trunc))
+                eps = [extract_epochs(signals_g[b], fs) for b in trunc]
+                fixed = analysis_lossless_batch(
+                    [signals_g[b] for b in trunc], fs, fft_len=fft_len,
+                    epochs=eps)
+                for j, b in enumerate(trunc):
+                    out[b] = fixed[j]
+            all_out.extend(out)
+        return all_out
 
     # bucket the batch axis (dummy silent utterances, dropped on return)
     n_real = len(signals)
@@ -454,50 +484,63 @@ def analysis_compressed_batch_async(signals: list, fs: int,
     mag_dim_ph = get_num_full_mel_coeffs_from_num_phase_coeffs(
         define_crossfade_params(fs)[0], phase_dim, alpha_phase, fs)
 
-    signals, dev, S, Tmax, m_max, n_real = _device_signal_batch(
-        signals, fs, mesh)
-    fc_max = (bucket(int(np.ceil(S / (fs * 5.0 / 1000.0))), FRM_STEP)
-              if b_const_rate else 0)
-    mml, mrm, mim, lf0, shift, n_marks, n_valid = \
-        _fused_track_compress_kernel(
-            *dev, fs=fs, n_pad=S, n_frames_max=Tmax, m_max=m_max,
-            fft_len=fft_len, mag_dim=mag_dim, phase_dim=phase_dim,
-            mag_dim_ph=mag_dim_ph, alpha=alpha, alpha_phase=alpha_phase,
-            fc_max=fc_max)
+    def dispatch_group(group):
+        signals, dev, S, Tmax, m_max, n_real = _device_signal_batch(
+            group, fs, mesh, fft_len=fft_len)
+        fc_max = (bucket(int(np.ceil(S / (fs * 5.0 / 1000.0))), FRM_STEP)
+                  if b_const_rate else 0)
+        mml, mrm, mim, lf0, shift, n_marks, n_valid = \
+            _fused_track_compress_kernel(
+                *dev, fs=fs, n_pad=S, n_frames_max=Tmax, m_max=m_max,
+                fft_len=fft_len, mag_dim=mag_dim, phase_dim=phase_dim,
+                mag_dim_ph=mag_dim_ph, alpha=alpha,
+                alpha_phase=alpha_phase, fc_max=fc_max)
+
+        def finalize_group():
+            nm = np.asarray(jax.device_get(n_marks))
+            nv = np.asarray(jax.device_get(n_valid))
+            Fa = bucket(int(nv.max()), FRM_STEP)
+            a, b_, c, d = jax.device_get(_trim_frames(
+                (mml, mrm, mim, lf0), n=Fa))
+            Fs_ = min(m_max, bucket(int(nm.max()), FRM_STEP))
+            sh = jax.device_get(_trim_frames((shift,), n=Fs_))[0]
+            out = []
+            for b in range(n_real):
+                n = int(nv[b])
+                out.append((a[b, :n].astype(np.float64),
+                            b_[b, :n].astype(np.float64),
+                            c[b, :n].astype(np.float64),
+                            d[b, :n].astype(np.float64),
+                            sh[b, :int(nm[b])].astype(np.int64)))
+
+            # capacity-exhausted walks (pathological mark density): redo
+            # those utterances with the exact host walk + given-epochs path
+            trunc = [b for b in range(n_real) if int(nm[b]) >= m_max]
+            if trunc:
+                from ..epochs.tracker import extract_epochs
+                from ..utils.metrics import logger
+                logger.warning("epoch-walk capacity hit for %d utterance(s);"
+                               " host-walk fallback", len(trunc))
+                eps = [extract_epochs(signals[b], fs) for b in trunc]
+                fixed = analysis_compressed_batch(
+                    [signals[b] for b in trunc], fs, mag_dim=mag_dim,
+                    phase_dim=phase_dim, fft_len=fft_len,
+                    alpha_phase=alpha_phase, b_const_rate=b_const_rate,
+                    epochs=eps)
+                for j, b in enumerate(trunc):
+                    out[b] = fixed[j]
+            return out
+
+        return finalize_group
+
+    # HBM budget: long utterances are dispatched in smaller sub-batches
+    subs = [dispatch_group(g)
+            for g in _split_for_budget(signals, fs, fft_len, mesh)]
 
     def finalize():
-        nm = np.asarray(jax.device_get(n_marks))
-        nv = np.asarray(jax.device_get(n_valid))
-        Fa = bucket(int(nv.max()), FRM_STEP)
-        a, b_, c, d = jax.device_get(_trim_frames(
-            (mml, mrm, mim, lf0), n=Fa))
-        Fs_ = min(m_max, bucket(int(nm.max()), FRM_STEP))
-        sh = jax.device_get(_trim_frames((shift,), n=Fs_))[0]
         out = []
-        for b in range(n_real):
-            n = int(nv[b])
-            out.append((a[b, :n].astype(np.float64),
-                        b_[b, :n].astype(np.float64),
-                        c[b, :n].astype(np.float64),
-                        d[b, :n].astype(np.float64),
-                        sh[b, :int(nm[b])].astype(np.int64)))
-
-        # capacity-exhausted walks (pathological mark density): redo those
-        # utterances with the exact host epoch walk + given-epochs path
-        trunc = [b for b in range(n_real) if int(nm[b]) >= m_max]
-        if trunc:
-            from ..epochs.tracker import extract_epochs
-            from ..utils.metrics import logger
-            logger.warning("epoch-walk capacity hit for %d utterance(s); "
-                           "host-walk fallback", len(trunc))
-            eps = [extract_epochs(signals[b], fs) for b in trunc]
-            fixed = analysis_compressed_batch(
-                [signals[b] for b in trunc], fs, mag_dim=mag_dim,
-                phase_dim=phase_dim, fft_len=fft_len,
-                alpha_phase=alpha_phase, b_const_rate=b_const_rate,
-                epochs=eps)
-            for j, b in enumerate(trunc):
-                out[b] = fixed[j]
+        for fin in subs:
+            out.extend(fin())
         return out
 
     return finalize

@@ -25,7 +25,8 @@ import numpy as np
 
 from ..config import define_alpha, define_crossfade_params, define_fft_len
 from ..core.filters import butter_highpass_sos, sosfilt
-from ..utils.padding import FRM_STEP, bucket, bucket_signal
+from ..utils.padding import (FRM_STEP, MAX_FRAME_ELEMS, bucket,
+                             bucket_signal)
 from ..vocoder.compressed import (
     _unwarp_kernel, get_num_full_mel_coeffs_from_num_phase_coeffs,
     synthesis_core_batch)
@@ -103,11 +104,32 @@ def synthesis_from_compressed_batch(utts, fs: int,
     mag_dim_ph = get_num_full_mel_coeffs_from_num_phase_coeffs(
         define_crossfade_params(fs)[0], phase_dim, alpha_phase, fs)
 
+    # HBM budget: the kernel materialises (B, F, fft_len) spectra — split
+    # oversized batches (long utterances) into sequential sub-batches
+    F_est = bucket(max(np.atleast_1d(np.squeeze(u[3])).shape[0]
+                       for u in utts), FRM_STEP)
+    max_b = max(1, int(MAX_FRAME_ELEMS // (F_est * fft_len)))
+    if mesh is not None:
+        max_b = max(mesh.size, (max_b // mesh.size) * mesh.size)
+    if block_result and len(utts) > max_b:
+        out = []
+        for i in range(0, len(utts), max_b):
+            key, sub = jax.random.split(key)
+            out.extend(synthesis_from_compressed_batch(
+                utts[i:i + max_b], fs, fft_len=fft_len,
+                b_voi_ap_win=b_voi_ap_win, per_phase_type=per_phase_type,
+                alpha_phase=alpha_phase, b_out_hpf=b_out_hpf,
+                pf_type=pf_type, key=sub, mesh=mesh, block_result=True))
+        return out
+
     # bucket the batch axis so arbitrary corpus-tail batch sizes reuse the
     # same compiled program (dummy 2-frame unvoiced utterances, dropped on
     # return)
     n_real = len(utts)
-    B = bucket(n_real, batch_step(mesh))
+    step = min(batch_step(mesh), max(1, max_b))
+    if mesh is not None:
+        step = max(mesh.size, (step // mesh.size) * mesh.size)
+    B = bucket(n_real, step)
     if B > n_real:
         dummy = (np.full((2, mag_dim), -3.0, np.float32),
                  np.zeros((2, phase_dim), np.float32),

@@ -23,7 +23,8 @@ import numpy as np
 
 from ..epochs import tracker
 from ..epochs.placement_device import placement_m_max, track_and_place_one
-from ..utils.padding import FRM_STEP, bucket, bucket_signal
+from ..utils.padding import (FRM_STEP, MAX_FRAME_ELEMS, bucket,
+                             bucket_signal)
 from ..vocoder.lossless import _analysis_kernel, _synthesis_kernel
 from .mesh import batch_step, shard_batch
 
@@ -53,20 +54,31 @@ def copy_synthesis_batch(signals: list, fs: int, fft_len: int = 4096,
                          mesh=None, block_result: bool = True):
     """Batched lossless copy-synthesis.  Returns list of waveforms (or the
     device buffer + per-utterance mark counts when block_result=False)."""
-    # bucket the batch axis (dummy silent utterances, dropped on return)
+    from .analysis_batch import _budget_geometry, _tracker_frame_geometry
+
+    # HBM budget: split oversized (long-utterance) batches sequentially
     n_real = len(signals)
-    B = bucket(n_real, batch_step(mesh))
+    S, m_max, max_b = _budget_geometry(signals, fs, fft_len, mesh)
+    if block_result and n_real > max_b:
+        out = []
+        for i in range(0, n_real, max_b):
+            out.extend(copy_synthesis_batch(signals[i:i + max_b], fs,
+                                            fft_len=fft_len, mesh=mesh))
+        return out
+
+    # bucket the batch axis (dummy silent utterances, dropped on return)
+    step = min(batch_step(mesh), max(1, max_b))
+    if mesh is not None:
+        step = max(mesh.size, (step // mesh.size) * mesh.size)
+    B = bucket(n_real, step)
     if B > n_real:
         signals = list(signals) + [np.zeros(1024)] * (B - n_real)
-    S = bucket_signal(max(len(s) for s in signals))
     sigs = np.zeros((len(signals), S), np.float32)
     for b, s in enumerate(signals):
         sigs[b, :len(s)] = s
     n_sigs = np.asarray([len(s) for s in signals], np.int32)
 
-    from .analysis_batch import _tracker_frame_geometry
     n_frames, Tmax = _tracker_frame_geometry(signals, fs)
-    m_max = placement_m_max(S, fs, FRM_STEP)
     out_len_max = S + (1 << 14)
 
     sigs_d = jnp.asarray(sigs)

@@ -28,6 +28,13 @@ def _geom_grid(ratio: float = 1.25, max_units: int = 4096):
 _SIG_GRID = _geom_grid() * SIG_STEP
 
 
+# HBM budget for fused programs: frame_rows * fft_len per device program.
+# The staged XLA FFT keeps ~10 full-size f32 temporaries live and the
+# analysis pipeline another ~6 stream-sized buffers, so peak HBM is about
+# rows * fft_len * 64 bytes; 192M row-elements ~= 12 GB of a 16 GB v5e.
+MAX_FRAME_ELEMS = 192 << 20
+
+
 def bucket_signal(n: int) -> int:
     """Geometric signal-length bucket (multiples of SIG_STEP, ~1.25x
     spaced).

@@ -116,3 +116,24 @@ def test_batched_high_pitch_no_truncation():
     # pitch recovered near 390 Hz in voiced frames
     f0 = np.exp(lf0[lf0 > -1e9])
     assert abs(np.median(f0) - 390) < 25
+
+
+def test_hbm_budget_splits_long_utterance_batches():
+    """A 32 s utterance must not be padded to a batch of 8 (HBM), and a
+    list of them must split into sub-batches under the budget."""
+    from magphase_tpu.parallel.analysis_batch import (_budget_geometry,
+                                                      _split_for_budget)
+    from magphase_tpu.utils.padding import MAX_FRAME_ELEMS
+
+    fs, fft_len = 48000, 4096
+    long = np.zeros(32 * fs)
+    S, m_max, max_b = _budget_geometry([long], fs, fft_len)
+    assert S >= len(long)
+    assert max_b * m_max * fft_len <= MAX_FRAME_ELEMS
+    assert 1 <= max_b < 8
+
+    groups = _split_for_budget([long] * 10, fs, fft_len)
+    assert sum(len(g) for g in groups) == 10
+    assert all(len(g) <= max_b for g in groups)
+    # short utterances keep the single-group fast path
+    assert len(_split_for_budget([np.zeros(fs * 2)] * 8, fs, fft_len)) == 1
