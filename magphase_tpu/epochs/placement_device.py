@@ -60,10 +60,16 @@ def place_epochs_kernel(y_snap, f0, voiced, n_sig, *, fs: int, m_max: int):
         # serialises element-at-a-time on TPU.
         lo = jnp.clip(t + 0.7 * period, 0.0,
                       float(S - _SNAP_WIN)).astype(jnp.int32)
-        hi = jnp.minimum(float(S - 1), t + 1.3 * period)
+        # window end clips to the REAL signal end (host walk semantics:
+        # tracker.place_epochs hi = min(n-1, ...)), not the padded length —
+        # otherwise tail marks snap into the zero padding and the walk
+        # drops the final voiced mark the host version places
+        hi = jnp.floor(jnp.minimum((n_sig - 1).astype(jnp.float32),
+                                   t + 1.3 * period))
         offs = jnp.arange(_SNAP_WIN)
         vals = jax.lax.dynamic_slice(y_snap, (lo,), (_SNAP_WIN,))
-        in_win = (lo + offs).astype(jnp.float32) <= hi
+        # host slice y_snap[lo:hi] EXCLUDES hi (int truncation + half-open)
+        in_win = (lo + offs).astype(jnp.float32) < hi
         vals = jnp.where(in_win, vals, jnp.inf)
         nxt_voi = lo + jnp.argmin(vals)
 

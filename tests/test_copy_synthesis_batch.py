@@ -27,12 +27,10 @@ def test_device_epoch_placement_matches_host():
     voi_d = np.asarray(flags)[:n]
 
     pm_h_smpls = np.round(pm_h * fs).astype(int)
-    # same mark count within a few, and bulk positions identical
-    assert abs(n - len(pm_h_smpls)) <= 3
-    m = min(n, len(pm_h_smpls))
-    close = np.abs(pm_d[:m] - pm_h_smpls[:m]) <= 2
-    assert close.mean() > 0.95, f"agreement {close.mean()}"
-    assert (voi_d[:m] == voi_h[:m]).mean() > 0.95
+    # the two walks implement the same algorithm: sample-exact agreement
+    assert n == len(pm_h_smpls)
+    assert np.array_equal(pm_d, pm_h_smpls)
+    assert np.array_equal(voi_d, voi_h)
 
 
 def test_copy_synthesis_batch_reconstructs():
