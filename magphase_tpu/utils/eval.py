@@ -47,15 +47,49 @@ def log_mel_spectrogram(v_sig, fs: int, n_mel: int = 60,
         fft_len=fft_len, alpha=alpha)))
 
 
+def align_by_xcorr(v_sig_a, v_sig_b, fs: int,
+                   max_lag_ms: float = 50.0):
+    """Trim the pair to its best cross-correlation alignment (host numpy).
+
+    Vocoded output is time-shifted relative to the input (OLA start trim,
+    magphase.py:58-60), which would dominate a frame-wise spectral metric;
+    the lag search is bounded to +-max_lag_ms."""
+    a = np.asarray(v_sig_a, np.float64)
+    b = np.asarray(v_sig_b, np.float64)
+    n = min(len(a), len(b))
+    nfft = 1 << int(np.ceil(np.log2(2 * n)))
+    xc = np.fft.irfft(np.fft.rfft(a[:n], nfft) *
+                      np.conj(np.fft.rfft(b[:n], nfft)), nfft)
+    L = int(max_lag_ms * fs / 1000.0)
+    cand = np.concatenate([xc[:L + 1], xc[-L:]])
+    k = int(np.argmax(cand))
+    lag = k if k <= L else k - (2 * L + 1)   # b lags a by `lag` samples
+    if lag >= 0:
+        a, b = a[lag:], b
+    else:
+        a, b = a, b[-lag:]
+    n = min(len(a), len(b))
+    return a[:n], b[:n]
+
+
 def mel_spectral_distortion(v_sig_a, v_sig_b, fs: int, n_mel: int = 60,
+                            align: bool = True, exclude_gain: bool = False,
                             **kw) -> float:
     """Mean frame-wise mel-spectral distortion in dB between two waveforms
-    (lower is better; identical signals -> 0).  Signals are truncated to
-    the common length."""
+    (lower is better; identical signals -> 0).  Signals are aligned by
+    bounded cross-correlation first (align=False to compare as-is) and
+    truncated to the common length.  exclude_gain subtracts the per-frame
+    mean log difference (the MCD convention of dropping c0), making the
+    metric invariant to overall level — e.g. the 0.98 peak normalisation
+    of write_audio_file."""
+    if align:
+        v_sig_a, v_sig_b = align_by_xcorr(v_sig_a, v_sig_b, fs)
     n = min(len(v_sig_a), len(v_sig_b))
     ma = log_mel_spectrogram(v_sig_a[:n], fs, n_mel=n_mel, **kw)
     mb = log_mel_spectrogram(v_sig_b[:n], fs, n_mel=n_mel, **kw)
     d = ma - mb
+    if exclude_gain:
+        d = d - d.mean(axis=1, keepdims=True)
     return float(np.mean(_DB * np.sqrt(np.sum(d * d, axis=1))))
 
 

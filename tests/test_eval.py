@@ -29,3 +29,20 @@ def test_logmel_shape_and_feat_msd():
     assert m.shape[0] > 50
     assert log_spectral_distortion_feats(m, m) == 0.0
     assert log_spectral_distortion_feats(m, m + 0.1) > 0.0
+
+
+def test_msd_alignment_removes_time_shift():
+    rng = np.random.RandomState(0)
+    sig = rng.randn(48000) * 0.1
+    shifted = np.concatenate([np.zeros(600), sig])[:48000]
+    d_noalign = mel_spectral_distortion(sig, shifted, 48000, align=False)
+    d_align = mel_spectral_distortion(sig, shifted, 48000, align=True)
+    assert d_align < 0.05 * d_noalign
+    assert d_align < 1.0
+
+
+def test_msd_exclude_gain_ignores_level():
+    rng = np.random.RandomState(0)
+    sig = rng.randn(48000) * 0.1
+    d = mel_spectral_distortion(sig, sig * 0.7, 48000, exclude_gain=True)
+    assert d < 1e-4
