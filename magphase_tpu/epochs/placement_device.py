@@ -92,9 +92,22 @@ def place_epochs_kernel(y_snap, f0, voiced, n_sig, *, fs: int, m_max: int):
         t = jnp.where(ok, nxt.astype(jnp.float32), t)
         return (t, n_marks, done, marks, flags)
 
+    # while_loop, not fori_loop over m_max: capacity is sized for the
+    # worst case (400 marks/s) but real speech places far fewer marks —
+    # early exit makes walk cost scale with actual marks.  Under vmap the
+    # batched loop runs until every utterance's walker is done.
+    def cond(state):
+        i, carry = state
+        return (i < m_max) & ~carry[2]
+
+    def wbody(state):
+        i, carry = state
+        return i + 1, body(i, carry)
+
     init = (jnp.float32(0.0), jnp.int32(0), jnp.bool_(False),
             jnp.zeros(m_max, jnp.int32), jnp.zeros(m_max, jnp.float32))
-    _, n_marks, _, marks, flags = jax.lax.fori_loop(0, m_max, body, init)
+    _, (_, n_marks, _, marks, flags) = jax.lax.while_loop(
+        cond, wbody, (jnp.int32(0), init))
     return marks, flags, n_marks
 
 
