@@ -127,11 +127,12 @@ def track_and_place_one(sig, n_sig, n_frames, *, fs: int, n_pad: int,
     """
     from . import tracker
 
-    fs_a = tracker.FS_ANALYSIS
+    fs_a, _dec = tracker.analysis_rate(fs)
     xa, y_snap = tracker._preprocess(sig, fs=fs, n_pad=n_pad)
-    nccf, valid = tracker._nccf(xa, n_frames, n_frames_max=n_frames_max)
+    nccf, valid = tracker._nccf(xa, n_frames, n_frames_max=n_frames_max,
+                                fs_a=fs_a)
     vals, lags = tracker._candidates(nccf)
-    states = tracker._viterbi(vals, lags, valid)
+    states = tracker._viterbi(vals, lags, valid, fs_a=fs_a)
 
     voiced = (states < tracker.N_CAND) & valid
     lag_sel = jnp.take_along_axis(

@@ -40,6 +40,17 @@ F0_MIN = 50.0
 F0_MAX = 400.0
 FRAME_STEP_S = 0.005
 FS_ANALYSIS = 16000
+
+
+def analysis_rate(fs: int):
+    """(fs_analysis, decimation) for a given input rate.
+
+    Decimate by the integer factor landing closest to FS_ANALYSIS — the
+    NCCF frame/lag geometry is then derived from the ACTUAL analysis rate
+    (22050 stays at 22050, 44100 -> 14700), not assumed to be 16 kHz;
+    assuming 16 kHz skewed f0 by fs_a/16000 at those rates."""
+    dec = max(1, int(round(fs / FS_ANALYSIS)))
+    return fs / dec, dec
 CORR_WIN_S = 0.0075
 N_CAND = 15
 
@@ -90,9 +101,9 @@ def _preprocess(sig: jnp.ndarray, *, fs: int, n_pad: int):
     copy at the original rate for epoch snapping."""
     x = sig - jnp.mean(sig)
     x = _fft_conv_same(x, _fir_highpass(80.0, fs))
-    dec = fs // FS_ANALYSIS
+    fs_a, dec = analysis_rate(fs)
     if dec > 1:
-        xl = _fft_conv_same(x, _fir_lowpass(0.45 * FS_ANALYSIS, fs))
+        xl = _fft_conv_same(x, _fir_lowpass(0.45 * fs_a, fs))
         xa = xl[::dec]
     else:
         xa = x
@@ -100,13 +111,13 @@ def _preprocess(sig: jnp.ndarray, *, fs: int, n_pad: int):
     return xa, y_snap
 
 
-@functools.partial(jax.jit, static_argnames=("n_frames_max",))
-def _nccf(xa: jnp.ndarray, n_frames: jnp.ndarray, *, n_frames_max: int):
+@functools.partial(jax.jit, static_argnames=("n_frames_max", "fs_a"))
+def _nccf(xa: jnp.ndarray, n_frames: jnp.ndarray, *, n_frames_max: int,
+          fs_a: float = FS_ANALYSIS):
     """NCCF for all frames at once.
 
     xa: analysis-rate signal (padded).  Returns (nccf[T,L+1], valid[T]).
     """
-    fs_a = FS_ANALYSIS
     step = int(round(FRAME_STEP_S * fs_a))          # 80
     w = int(round(CORR_WIN_S * fs_a))               # 120
     min_lag = int(fs_a / F0_MAX)                    # 40
@@ -160,15 +171,16 @@ def _candidates(nccf: jnp.ndarray):
     return vals, lag_ref
 
 
-@jax.jit
-def _viterbi(vals: jnp.ndarray, lags: jnp.ndarray, valid: jnp.ndarray):
+@functools.partial(jax.jit, static_argnames=("fs_a",))
+def _viterbi(vals: jnp.ndarray, lags: jnp.ndarray, valid: jnp.ndarray,
+             *, fs_a: float = FS_ANALYSIS):
     """K+1-state DP over frames.  State K = unvoiced.
 
     Returns (best_state[T], delta_final).
     """
     T, K = vals.shape
     log_lag = jnp.log2(jnp.maximum(lags, 1.0))
-    max_lag = FS_ANALYSIS / F0_MIN
+    max_lag = fs_a / F0_MIN
 
     local_v = 1.0 - vals + LAG_BIAS * (lags / max_lag)
     local_v = jnp.where(vals > -1.5, local_v, 1e6)   # invalid candidates
@@ -224,17 +236,18 @@ def track_f0(v_sig: np.ndarray, fs: int):
         [sig, jnp.zeros(n_pad - sig.shape[0], sig.dtype)])
     xa, y_snap = _preprocess(sig_p, fs=fs, n_pad=n_pad)
 
-    fs_a = FS_ANALYSIS
+    fs_a, dec = analysis_rate(fs)
     step = int(round(FRAME_STEP_S * fs_a))
     w = int(round(CORR_WIN_S * fs_a))
     max_lag = int(round(fs_a / F0_MIN))
-    n_sig_a = (len(v_sig) * fs_a) // fs
+    n_sig_a = len(v_sig) // dec
     n_frames = max(1, (n_sig_a - (w + max_lag)) // step + 1)
     Tmax = bucket(n_frames, 128)
 
-    nccf, valid = _nccf(xa, jnp.int32(n_frames), n_frames_max=Tmax)
+    nccf, valid = _nccf(xa, jnp.int32(n_frames), n_frames_max=Tmax,
+                        fs_a=fs_a)
     vals, lags = _candidates(nccf)
-    states = _viterbi(vals, lags, valid)
+    states = _viterbi(vals, lags, valid, fs_a=fs_a)
 
     states = np.asarray(jax.device_get(states))[:n_frames]
     vals_h = np.asarray(jax.device_get(vals))[:n_frames]

@@ -30,10 +30,12 @@ def _track_batch_kernel(sigs, n_frames, *, fs: int, n_pad: int,
                         n_frames_max: int):
     """vmapped preprocess + NCCF + candidates + Viterbi."""
     def one(sig, nf):
+        fs_a = tracker.analysis_rate(fs)[0]
         xa, y_snap = tracker._preprocess(sig, fs=fs, n_pad=n_pad)
-        nccf, valid = tracker._nccf(xa, nf, n_frames_max=n_frames_max)
+        nccf, valid = tracker._nccf(xa, nf, n_frames_max=n_frames_max,
+                                    fs_a=fs_a)
         vals, lags = tracker._candidates(nccf)
-        states = tracker._viterbi(vals, lags, valid)
+        states = tracker._viterbi(vals, lags, valid, fs_a=fs_a)
         return states, vals, lags, y_snap
 
     return jax.vmap(one)(sigs, n_frames)
@@ -45,12 +47,12 @@ def track_f0_batch(signals: list, fs: int):
     S = bucket_signal(max(len(s) for s in signals))
     sigs = np.stack([pad_to(np.asarray(s, np.float32), S) for s in signals])
 
-    fs_a = tracker.FS_ANALYSIS
+    fs_a, dec = tracker.analysis_rate(fs)
     step = int(round(tracker.FRAME_STEP_S * fs_a))
     w = int(round(tracker.CORR_WIN_S * fs_a))
     max_lag = int(round(fs_a / tracker.F0_MIN))
     n_frames = np.asarray(
-        [max(1, ((len(s) * fs_a) // fs - (w + max_lag)) // step + 1)
+        [max(1, (len(s) // dec - (w + max_lag)) // step + 1)
          for s in signals], np.int32)
     Tmax = bucket(int(n_frames.max()), 128)
 
@@ -77,12 +79,12 @@ def track_f0_batch(signals: list, fs: int):
 
 def _tracker_frame_geometry(signals: list, fs: int):
     """Per-utterance NCCF frame counts + the bucketed frame maximum."""
-    fs_a = tracker.FS_ANALYSIS
+    fs_a, dec = tracker.analysis_rate(fs)
     step = int(round(tracker.FRAME_STEP_S * fs_a))
     w = int(round(tracker.CORR_WIN_S * fs_a))
     max_lag = int(round(fs_a / tracker.F0_MIN))
     n_frames = np.asarray(
-        [max(1, ((len(s) * fs_a) // fs - (w + max_lag)) // step + 1)
+        [max(1, (len(s) // dec - (w + max_lag)) // step + 1)
          for s in signals], np.int32)
     return n_frames, bucket(int(n_frames.max()), 128)
 

@@ -66,3 +66,15 @@ def test_demo_wav_copy_synthesis_quality(demo_wav):
     # allow a small fraction of samples to deviate (pm rounding at
     # voicing boundaries); bulk must be at PCM16 noise level
     assert np.percentile(err, 99) < 2.0 ** -14
+
+
+def test_tracker_all_supported_rates():
+    """f0 must be rate-invariant: the NCCF geometry derives from the
+    actual analysis rate (22050/44100 were skewed by fs_a/16000 before)."""
+    for fs in (16000, 22050, 44100, 48000):
+        t = np.arange(int(1.0 * fs)) / fs
+        sig = 0.4 * np.sign(np.sin(2 * np.pi * 150 * t))
+        f0, voiced, step, _ = track_f0(sig, fs)
+        sel = voiced & (f0 > 0)
+        assert sel.mean() > 0.5, fs
+        assert abs(np.median(f0[sel]) - 150.0) < 5.0, fs
