@@ -51,3 +51,24 @@ def test_16k_compressed_roundtrip(tmp_path, wav16):
                                   key=jax.random.PRNGKey(0))
     assert np.all(np.isfinite(v))
     assert np.std(v) > 1e-5
+
+
+def test_22050_and_44100_round_trip_smoke():
+    """The other two supported rates (alpha table, magphase.py:3279-3290)
+    through batched analysis + synthesis."""
+    import jax
+    from magphase_tpu.parallel.analysis_batch import analysis_compressed_batch
+    from magphase_tpu.parallel.batch import synthesis_from_compressed_batch
+
+    for fs in (22050, 44100):
+        t = np.arange(int(1.0 * fs)) / fs
+        sig = 0.3 * np.sign(np.sin(2 * np.pi * 140 * t))
+        feats = analysis_compressed_batch([sig], fs, mag_dim=40,
+                                          phase_dim=20)
+        mml, mrm, mim, lf0, sh = feats[0]
+        assert (lf0 > -1e9).mean() > 0.8
+        wavs = synthesis_from_compressed_batch(
+            [(mml, mrm, mim, lf0)], fs, key=jax.random.PRNGKey(0))
+        w = wavs[0]
+        assert np.all(np.isfinite(w)) and np.std(w) > 1e-3
+        assert abs(len(w) - len(sig)) < fs // 5
