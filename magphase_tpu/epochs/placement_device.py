@@ -37,20 +37,28 @@ def placement_m_max(n_pad_sig: int, fs: int, frm_step: int = 128) -> int:
     return bucket(int(np.ceil(400.0 * n_pad_sig / fs)) + 2, frm_step)
 
 
-@functools.partial(jax.jit, static_argnames=("fs", "m_max"))
-def place_epochs_kernel(y_snap, f0, voiced, n_sig, *, fs: int, m_max: int):
+@functools.partial(jax.jit, static_argnames=("fs", "m_max", "frame_step"))
+def place_epochs_kernel(y_snap, f0, voiced, n_sig, n_frames=None, *,
+                        fs: int, m_max: int, frame_step: float = 0.0):
     """One utterance: (marks[m_max], flags[m_max], n_marks).
 
-    y_snap: low-passed signal (padded); f0/voiced: per-frame track.
+    y_snap: low-passed signal (padded); f0/voiced: per-frame track,
+    possibly PADDED past ``n_frames`` real frames — the frame lookup
+    clips to the last REAL frame (host walk semantics), not the padding.
+    ``frame_step``: actual frame spacing in input samples
+    (round(FRAME_STEP_S*fs_a)*dec; the nominal 5 ms when omitted).
     """
     T = f0.shape[0]
-    step = FRAME_STEP_S * fs
+    if n_frames is None:
+        n_frames = jnp.int32(T)
+    step = frame_step if frame_step > 0 else FRAME_STEP_S * fs
     unv_step = int(round(0.005 * fs))
     S = y_snap.shape[0]
 
     def body(i, carry):
         t, n_marks, done, marks, flags = carry
-        fr = jnp.clip((t / step).astype(jnp.int32), 0, T - 1)
+        fr = jnp.clip((t / step).astype(jnp.int32), 0,
+                      jnp.maximum(n_frames - 1, 0))
         is_voi = (voiced[fr] > 0) & (f0[fr] > 0)
         period = jnp.where(is_voi, fs / jnp.maximum(f0[fr], 1.0),
                            float(unv_step))
@@ -111,10 +119,12 @@ def place_epochs_kernel(y_snap, f0, voiced, n_sig, *, fs: int, m_max: int):
     return marks, flags, n_marks
 
 
-def place_epochs_batch_kernel(y_snap_b, f0_b, voiced_b, n_sig_b, *, fs: int,
-                              m_max: int):
-    one = functools.partial(place_epochs_kernel, fs=fs, m_max=m_max)
-    return jax.vmap(one)(y_snap_b, f0_b, voiced_b, n_sig_b)
+def place_epochs_batch_kernel(y_snap_b, f0_b, voiced_b, n_sig_b,
+                              n_frames_b, *, fs: int, m_max: int,
+                              frame_step: float = 0.0):
+    one = functools.partial(place_epochs_kernel, fs=fs, m_max=m_max,
+                            frame_step=frame_step)
+    return jax.vmap(one)(y_snap_b, f0_b, voiced_b, n_sig_b, n_frames_b)
 
 
 def track_and_place_one(sig, n_sig, n_frames, *, fs: int, n_pad: int,
@@ -127,7 +137,8 @@ def track_and_place_one(sig, n_sig, n_frames, *, fs: int, n_pad: int,
     """
     from . import tracker
 
-    fs_a, _dec = tracker.analysis_rate(fs)
+    fs_a, dec = tracker.analysis_rate(fs)
+    frame_step = round(tracker.FRAME_STEP_S * fs_a) * dec
     xa, y_snap = tracker._preprocess(sig, fs=fs, n_pad=n_pad)
     nccf, valid = tracker._nccf(xa, n_frames, n_frames_max=n_frames_max,
                                 fs_a=fs_a)
@@ -140,4 +151,5 @@ def track_and_place_one(sig, n_sig, n_frames, *, fs: int, n_pad: int,
     f0 = jnp.where(voiced & (lag_sel > 0),
                    fs_a / jnp.maximum(lag_sel, 1.0), 0.0)
     return place_epochs_kernel(y_snap, f0, voiced.astype(jnp.float32),
-                               n_sig, fs=fs, m_max=m_max)
+                               n_sig, n_frames, fs=fs, m_max=m_max,
+                               frame_step=float(frame_step))

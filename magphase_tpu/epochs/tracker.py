@@ -258,7 +258,13 @@ def track_f0(v_sig: np.ndarray, fs: int):
                                       np.clip(states, 0, N_CAND - 1)], 0.0)
     f0 = np.where(voiced & (lag_sel > 0), fs_a / np.maximum(lag_sel, 1.0),
                   0.0)
-    return f0, voiced, FRAME_STEP_S, np.asarray(jax.device_get(y_snap))[:len(v_sig)]
+    # ACTUAL frame spacing in seconds: frames advance by
+    # round(FRAME_STEP_S*fs_a) analysis samples = that * dec input samples
+    # (exactly 5 ms at 16/48 kHz, 5.034 ms at 44100) — the epoch walk must
+    # index frames with this, not the nominal 5 ms
+    frame_step_s = step * dec / fs
+    return f0, voiced, frame_step_s, \
+        np.asarray(jax.device_get(y_snap))[:len(v_sig)]
 
 
 def place_epochs(v_sig: np.ndarray, fs: int, f0: np.ndarray,

@@ -22,7 +22,7 @@ from ..utils.padding import (FRM_STEP, MAX_FRAME_ELEMS, bucket,
                              bucket_signal, pad_to)
 from ..vocoder.compressed import (
     _format_kernel, get_num_full_mel_coeffs_from_num_phase_coeffs)
-from .mesh import batch_step, shard_batch
+from .mesh import capped_batch_step, shard_batch
 
 
 @functools.partial(jax.jit, static_argnames=("fs", "n_pad", "n_frames_max"))
@@ -96,7 +96,10 @@ def _budget_geometry(signals: list, fs: int, fft_len: int, mesh=None):
     long utterances mean fewer utterances per program)."""
     S = bucket_signal(max(len(s) for s in signals))
     m_max = placement_m_max(S, fs, FRM_STEP)
-    max_b = max(1, int(MAX_FRAME_ELEMS // (m_max * fft_len)))
+    # the budget is PER DEVICE: a data mesh shards the batch axis, so the
+    # total batch scales with the mesh size
+    budget = MAX_FRAME_ELEMS * (mesh.size if mesh is not None else 1)
+    max_b = max(1, int(budget // (m_max * fft_len)))
     if mesh is not None:
         max_b = max(mesh.size, (max_b // mesh.size) * mesh.size)
     return S, m_max, max_b
@@ -108,6 +111,17 @@ def _split_for_budget(signals: list, fs: int, fft_len: int, mesh=None):
     if len(signals) <= max_b:
         return [signals]
     return [signals[i:i + max_b] for i in range(0, len(signals), max_b)]
+
+
+def _epochs_budget(epochs, fft_len: int, mesh=None) -> int:
+    """Max batch for the given-epochs kernels under the HBM budget (the
+    frame axis comes from the provided epochs, not the walk capacity)."""
+    F_est = bucket(max(len(p) for p, _ in epochs), FRM_STEP)
+    budget = MAX_FRAME_ELEMS * (mesh.size if mesh is not None else 1)
+    max_b = max(1, int(budget // (F_est * fft_len)))
+    if mesh is not None:
+        max_b = max(mesh.size, (max_b // mesh.size) * mesh.size)
+    return max_b
 
 
 def _device_signal_batch(signals: list, fs: int, mesh=None,
@@ -122,10 +136,7 @@ def _device_signal_batch(signals: list, fs: int, mesh=None,
     """
     n_real = len(signals)
     S, m_max, max_b = _budget_geometry(signals, fs, fft_len, mesh)
-    step = min(batch_step(mesh), max(1, max_b))
-    if mesh is not None:
-        step = max(mesh.size, (step // mesh.size) * mesh.size)
-    B = bucket(n_real, step)
+    B = bucket(n_real, capped_batch_step(mesh, max_b))
     if B > n_real:
         signals = list(signals) + [np.zeros(1024)] * (B - n_real)
     # preallocate + row assignment (no per-array np.pad copies)
@@ -311,9 +322,17 @@ def analysis_lossless_batch(signals: list, fs: int,
             all_out.extend(out)
         return all_out
 
-    # bucket the batch axis (dummy silent utterances, dropped on return)
+    # HBM budget + bucket the batch axis (dummies dropped on return)
     n_real = len(signals)
-    B = bucket(n_real, batch_step(mesh))
+    max_b = _epochs_budget(epochs, fft_len, mesh)
+    if n_real > max_b:
+        out = []
+        for i in range(0, n_real, max_b):
+            out.extend(analysis_lossless_batch(
+                signals[i:i + max_b], fs, fft_len=fft_len,
+                epochs=epochs[i:i + max_b], mesh=mesh))
+        return out
+    B = bucket(n_real, capped_batch_step(mesh, max_b))
     if B > n_real:
         d_sig = np.zeros(1024)
         d_ep = (np.asarray([100, 300]) / float(fs), np.zeros(2))
@@ -414,9 +433,19 @@ def analysis_compressed_batch(signals: list, fs: int, mag_dim: int = 60,
             fft_len=fft_len, alpha_phase=alpha_phase,
             b_const_rate=b_const_rate, mesh=mesh)()
 
-    # bucket the batch axis (dummy silent utterances, dropped on return)
+    # HBM budget + bucket the batch axis (dummies dropped on return)
     n_real = len(signals)
-    B = bucket(n_real, batch_step(mesh))
+    max_b = _epochs_budget(epochs, fft_len, mesh)
+    if n_real > max_b:
+        out = []
+        for i in range(0, n_real, max_b):
+            out.extend(analysis_compressed_batch(
+                signals[i:i + max_b], fs, mag_dim=mag_dim,
+                phase_dim=phase_dim, fft_len=fft_len,
+                epochs=epochs[i:i + max_b], alpha_phase=alpha_phase,
+                b_const_rate=b_const_rate, mesh=mesh))
+        return out
+    B = bucket(n_real, capped_batch_step(mesh, max_b))
     if B > n_real:
         d_sig = np.zeros(1024)
         d_ep = (np.asarray([100, 300]) / float(fs), np.zeros(2))
@@ -535,13 +564,24 @@ def analysis_compressed_batch_async(signals: list, fs: int,
 
         return finalize_group
 
-    # HBM budget: long utterances are dispatched in smaller sub-batches
-    subs = [dispatch_group(g)
-            for g in _split_for_budget(signals, fs, fft_len, mesh)]
+    # HBM budget: long utterances are dispatched in smaller sub-batches,
+    # at most two in flight so resident input buffers stay bounded while
+    # the next group's upload still overlaps the previous group's compute
+    from collections import deque
+    pending = deque(_split_for_budget(signals, fs, fft_len, mesh))
+    inflight = deque()
+
+    def pump():
+        while pending and len(inflight) < 2:
+            inflight.append(dispatch_group(pending.popleft()))
+
+    pump()
 
     def finalize():
         out = []
-        for fin in subs:
+        while inflight:
+            fin = inflight.popleft()
+            pump()
             out.extend(fin())
         return out
 

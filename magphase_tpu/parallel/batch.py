@@ -31,7 +31,7 @@ from ..vocoder.compressed import (
     _unwarp_kernel, get_num_full_mel_coeffs_from_num_phase_coeffs,
     synthesis_core_batch)
 from ..vocoder.postfilter import post_filter, post_filter_merlin
-from .mesh import batch_step, shard_batch
+from .mesh import capped_batch_step, shard_batch
 
 
 @functools.partial(
@@ -108,28 +108,33 @@ def synthesis_from_compressed_batch(utts, fs: int,
     # oversized batches (long utterances) into sequential sub-batches
     F_est = bucket(max(np.atleast_1d(np.squeeze(u[3])).shape[0]
                        for u in utts), FRM_STEP)
-    max_b = max(1, int(MAX_FRAME_ELEMS // (F_est * fft_len)))
+    budget = MAX_FRAME_ELEMS * (mesh.size if mesh is not None else 1)
+    max_b = max(1, int(budget // (F_est * fft_len)))
     if mesh is not None:
         max_b = max(mesh.size, (max_b // mesh.size) * mesh.size)
-    if block_result and len(utts) > max_b:
-        out = []
+    if len(utts) > max_b:
+        out, rows, lens_all = [], [], []
         for i in range(0, len(utts), max_b):
             key, sub = jax.random.split(key)
-            out.extend(synthesis_from_compressed_batch(
+            r = synthesis_from_compressed_batch(
                 utts[i:i + max_b], fs, fft_len=fft_len,
                 b_voi_ap_win=b_voi_ap_win, per_phase_type=per_phase_type,
                 alpha_phase=alpha_phase, b_out_hpf=b_out_hpf,
-                pf_type=pf_type, key=sub, mesh=mesh, block_result=True))
-        return out
+                pf_type=pf_type, key=sub, mesh=mesh,
+                block_result=block_result)
+            if block_result:
+                out.extend(r)
+            else:
+                bufs_g, lens_g = r
+                rows.extend(bufs_g[j] for j in range(len(lens_g)))
+                lens_all.extend(lens_g)
+        return out if block_result else (rows, lens_all)
 
     # bucket the batch axis so arbitrary corpus-tail batch sizes reuse the
     # same compiled program (dummy 2-frame unvoiced utterances, dropped on
     # return)
     n_real = len(utts)
-    step = min(batch_step(mesh), max(1, max_b))
-    if mesh is not None:
-        step = max(mesh.size, (step // mesh.size) * mesh.size)
-    B = bucket(n_real, step)
+    B = bucket(n_real, capped_batch_step(mesh, max_b))
     if B > n_real:
         dummy = (np.full((2, mag_dim), -3.0, np.float32),
                  np.zeros((2, phase_dim), np.float32),

@@ -22,11 +22,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..epochs import tracker
-from ..epochs.placement_device import placement_m_max, track_and_place_one
-from ..utils.padding import (FRM_STEP, MAX_FRAME_ELEMS, bucket,
-                             bucket_signal)
+from ..epochs.placement_device import track_and_place_one
+from ..utils.padding import bucket
 from ..vocoder.lossless import _analysis_kernel, _synthesis_kernel
-from .mesh import batch_step, shard_batch
+from .mesh import capped_batch_step, shard_batch
 
 
 @functools.partial(jax.jit, static_argnames=("fs", "n_pad", "n_frames_max",
@@ -59,18 +58,22 @@ def copy_synthesis_batch(signals: list, fs: int, fft_len: int = 4096,
     # HBM budget: split oversized (long-utterance) batches sequentially
     n_real = len(signals)
     S, m_max, max_b = _budget_geometry(signals, fs, fft_len, mesh)
-    if block_result and n_real > max_b:
-        out = []
+    if n_real > max_b:
+        out, rows, nms = [], [], []
         for i in range(0, n_real, max_b):
-            out.extend(copy_synthesis_batch(signals[i:i + max_b], fs,
-                                            fft_len=fft_len, mesh=mesh))
-        return out
+            group = signals[i:i + max_b]
+            r = copy_synthesis_batch(group, fs, fft_len=fft_len, mesh=mesh,
+                                     block_result=block_result)
+            if block_result:
+                out.extend(r)
+            else:
+                bufs_g, nm_g = r
+                rows.extend(bufs_g[j] for j in range(len(group)))
+                nms.extend(nm_g[j] for j in range(len(group)))
+        return out if block_result else (rows, nms)
 
     # bucket the batch axis (dummy silent utterances, dropped on return)
-    step = min(batch_step(mesh), max(1, max_b))
-    if mesh is not None:
-        step = max(mesh.size, (step // mesh.size) * mesh.size)
-    B = bucket(n_real, step)
+    B = bucket(n_real, capped_batch_step(mesh, max_b))
     if B > n_real:
         signals = list(signals) + [np.zeros(1024)] * (B - n_real)
     sigs = np.zeros((len(signals), S), np.float32)

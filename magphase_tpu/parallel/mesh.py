@@ -41,6 +41,13 @@ def pad_batch_to_devices(n: int, n_devices: int) -> int:
     return int(np.ceil(n / n_devices)) * n_devices
 
 
+def capped_batch_step(mesh: Mesh | None, max_b: int, base: int = 8) -> int:
+    """batch_step capped by an HBM row budget.  Both operands are already
+    multiples of the mesh size (batch_step lcm's it; callers mesh-round
+    max_b), so the min preserves even sharding."""
+    return min(batch_step(mesh, base), max(1, max_b))
+
+
 def batch_step(mesh: Mesh | None, base: int = 8) -> int:
     """Bucket step for the batch axis: a multiple of ``base`` (compile-
     variant bounding) that the mesh size divides (even sharding)."""

@@ -57,10 +57,12 @@ def align_by_xcorr(v_sig_a, v_sig_b, fs: int,
     a = np.asarray(v_sig_a, np.float64)
     b = np.asarray(v_sig_b, np.float64)
     n = min(len(a), len(b))
+    L = min(int(max_lag_ms * fs / 1000.0), max(0, n // 2 - 1))
+    if L == 0:
+        return a[:n], b[:n]
     nfft = 1 << int(np.ceil(np.log2(2 * n)))
     xc = np.fft.irfft(np.fft.rfft(a[:n], nfft) *
                       np.conj(np.fft.rfft(b[:n], nfft)), nfft)
-    L = int(max_lag_ms * fs / 1000.0)
     cand = np.concatenate([xc[:L + 1], xc[-L:]])
     k = int(np.argmax(cand))
     lag = k if k <= L else k - (2 * L + 1)   # b lags a by `lag` samples

@@ -47,7 +47,11 @@ def bucket_signal(n: int) -> int:
     trimmed to realised counts.
     """
     i = int(np.searchsorted(_SIG_GRID, n))
-    return int(_SIG_GRID[min(i, len(_SIG_GRID) - 1)])
+    if i >= len(_SIG_GRID):
+        # beyond the grid (> ~47 min at 48 kHz): plain linear bucketing —
+        # NEVER return a bucket smaller than n
+        return bucket(n, SIG_STEP)
+    return int(_SIG_GRID[i])
 
 
 def pad_to(arr: np.ndarray, n: int, axis: int = 0, value=0) -> np.ndarray:

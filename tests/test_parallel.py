@@ -93,3 +93,40 @@ def test_mesh_size_not_dividing_base_bucket():
                                     fft_len=512, mesh=mesh)
     assert len(out) == 2
     assert all(np.all(np.isfinite(o[0])) for o in out)
+
+
+def test_budget_split_nonblocking_matches_blocking(monkeypatch):
+    """HBM sub-batch splitting must also apply with block_result=False
+    (the production generate-CLI path) and produce the same waveforms."""
+    import jax
+    import numpy as np
+    from magphase_tpu.parallel import batch as pb
+
+    rng = np.random.RandomState(0)
+    utts = []
+    for b in range(4):
+        n = 40 + b
+        mag = rng.randn(n, 20).astype(np.float32) * 0.3 - 3.0
+        real = np.clip(rng.randn(n, 10) * 0.3, -1, 1)
+        imag = np.clip(rng.randn(n, 10) * 0.3, -1, 1)
+        lf0 = np.log(rng.uniform(90, 250, n))
+        lf0[rng.rand(n) < 0.3] = -1.0e10
+        utts.append((mag, real, imag, lf0))
+
+    ref = pb.synthesis_from_compressed_batch(
+        utts, 48000, fft_len=512, key=jax.random.PRNGKey(7))
+
+    # force a split into sub-batches of <= 2
+    monkeypatch.setattr(pb, "MAX_FRAME_ELEMS", 2 * 128 * 512)
+    split_blocking = pb.synthesis_from_compressed_batch(
+        utts, 48000, fft_len=512, key=jax.random.PRNGKey(7))
+    rows, lens = pb.synthesis_from_compressed_batch(
+        utts, 48000, fft_len=512, key=jax.random.PRNGKey(7),
+        block_result=False)
+    assert len(rows) == len(lens) == 4
+    for w_ref, row, n in zip(split_blocking, rows, lens):
+        w = np.asarray(jax.device_get(row))[:n]
+        np.testing.assert_allclose(w, w_ref, atol=1e-5)
+    # same audio content as the unsplit run (same key -> same noise split)
+    for a, b in zip(ref, split_blocking):
+        assert len(a) == len(b)
