@@ -27,8 +27,21 @@ def _add_common(p):
     p.add_argument("--crash-list", default=None)
 
 
+def _maybe_mesh(flag: bool):
+    """A 1-D data mesh over all local devices when requested (>1 device)."""
+    if not flag:
+        return None
+    import jax
+    from .parallel.mesh import data_mesh, maybe_initialize_distributed
+    maybe_initialize_distributed()
+    if len(jax.devices()) < 2:
+        return None
+    return data_mesh()
+
+
 def cmd_extract(args) -> int:
-    from .io import read_scp_file, mkdir, read_wav, write_featfile
+    from .io import read_scp_file, mkdir, read_wav, read_wav_info, \
+        write_featfile
     from .utils.corpus import run_corpus, run_corpus_batched
     from .utils.metrics import setup_logging
     from .vocoder import analysis_for_acoustic_modelling
@@ -39,7 +52,19 @@ def cmd_extract(args) -> int:
     config = {"mag_dim": args.mag_dim, "phase_dim": args.phase_dim,
               "const_rate": args.const_rate}
 
+    if args.batch_size > 1 and not args.no_sort:
+        # length-sorted batching: homogeneous chunks hit one compiled
+        # program variant and minimise padding (features are
+        # per-utterance deterministic, so ordering is free to change)
+        try:
+            lens = {t: read_wav_info(
+                os.path.join(args.wav_dir, t + ".wav"))[0] for t in tokens}
+            tokens = sorted(tokens, key=lambda t: lens[t])
+        except OSError:
+            pass   # missing files surface later with crash-list handling
+
     if args.batch_size > 1:
+        mesh = _maybe_mesh(args.data_parallel)
         # device-batched production path: tracking + analysis + compression
         # fused in one program per chunk (vs one REAPER + three SPTK
         # subprocesses per utterance in the reference, stack SURVEY.md §3.2)
@@ -61,7 +86,7 @@ def cmd_extract(args) -> int:
             get_feats = analysis_compressed_batch_async(
                 sigs, fs, mag_dim=args.mag_dim, phase_dim=args.phase_dim,
                 fft_len=args.fft_len or None,
-                b_const_rate=args.const_rate)
+                b_const_rate=args.const_rate, mesh=mesh)
 
             def finalize():
                 for tok, (mml, mrm, mim, lf0, sh) in zip(chunk, get_feats()):
@@ -115,6 +140,7 @@ def cmd_generate(args) -> int:
     config = {"fs": args.fs, "mag_dim": args.mag_dim,
               "phase_dim": args.phase_dim, "pf_type": args.pf_type,
               "const_rate": args.const_rate}
+    mesh = _maybe_mesh(args.data_parallel)
 
     if args.const_rate:
         # constant-rate inputs need the per-utterance backward shift walk
@@ -148,7 +174,7 @@ def cmd_generate(args) -> int:
         # next chunk's feature reads + upload overlap this one's device time
         bufs, lens = synthesis_from_compressed_batch(
             utts, args.fs, pf_type=args.pf_type, key=sub,
-            b_out_hpf=not args.no_hpf, block_result=False)
+            b_out_hpf=not args.no_hpf, block_result=False, mesh=mesh)
 
         def finalize():
             host = jax.device_get(bufs)
@@ -205,6 +231,10 @@ def main(argv=None) -> int:
     pe.add_argument("--const-rate", action="store_true")
     pe.add_argument("--batch-size", type=int, default=8,
                     help="device batch size (1 = per-utterance path)")
+    pe.add_argument("--no-sort", action="store_true",
+                    help="keep scp order instead of length-sorted chunks")
+    pe.add_argument("--data-parallel", action="store_true",
+                    help="shard batches over all local devices")
     pe.set_defaults(fn=cmd_extract)
 
     pg = sub.add_parser("generate", help="batch waveform generation")
@@ -219,6 +249,8 @@ def main(argv=None) -> int:
     pg.add_argument("--no-hpf", action="store_true")
     pg.add_argument("--batch-size", type=int, default=16)
     pg.add_argument("--seed", type=int, default=0)
+    pg.add_argument("--data-parallel", action="store_true",
+                    help="shard batches over all local devices")
     pg.set_defaults(fn=cmd_generate)
 
     pc = sub.add_parser("convert-labels",

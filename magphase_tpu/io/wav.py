@@ -80,6 +80,38 @@ def read_wav(path: str, always_2d: bool = False) -> tuple[np.ndarray, int]:
     return sig, fs
 
 
+def read_wav_info(path: str) -> tuple[int, int]:
+    """(n_samples, sample_rate) from the header alone — no sample decode.
+
+    Cheap length probe for length-sorted corpus batching (homogeneous
+    chunks reuse one compiled program and minimise padding)."""
+    with open(path, "rb") as f:
+        head = f.read(12)
+        if head[:4] != b"RIFF" or head[8:12] != b"WAVE":
+            raise ValueError(f"{path}: not a RIFF/WAVE file")
+        fmt = None
+        data_size = None
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            chunk_id = hdr[:4]
+            chunk_sz = struct.unpack("<I", hdr[4:])[0]
+            if chunk_id == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", f.read(16))
+                f.seek(chunk_sz - 16 + (chunk_sz & 1), 1)
+            else:
+                if chunk_id == b"data":
+                    data_size = chunk_sz
+                f.seek(chunk_sz + (chunk_sz & 1), 1)
+            if fmt is not None and data_size is not None:
+                break
+    if fmt is None or data_size is None:
+        raise ValueError(f"{path}: missing fmt/data chunk")
+    _fmt, n_ch, fs, _rate, block_align, _bits = fmt
+    return data_size // max(block_align, 1), fs
+
+
 def write_wav(path: str, sig: np.ndarray, fs: int, subtype: str = "PCM_16") -> None:
     """Write a WAV file.  ``subtype``: 'PCM_16' (default, matches soundfile's
     default for .wav) or 'FLOAT'."""

@@ -78,3 +78,20 @@ def test_extract_features_and_convert_labels(workdir):
         assert starts[0] == 0
         assert all(e > s for s, e in zip(starts, ends))
         assert all(s2 == e1 for e1, s2 in zip(ends[:-1], starts[1:]))
+
+
+def test_extract_data_parallel_and_sorted(workdir):
+    """--data-parallel shards chunks over the 8 virtual devices; length
+    sorting must not change per-utterance features."""
+    feats_dp = workdir / "feats_dp"
+    rc = cli_main(["extract", "--scp", str(workdir / "two.scp"),
+                   "--wav-dir", os.path.join(DATA, "wavs_nat"),
+                   "--out-dir", str(feats_dp),
+                   "--mag-dim", "60", "--phase-dim", "45",
+                   "--data-parallel"])
+    assert rc == 0
+    for tok in ("hvd_593", "hvd_594"):
+        a = read_binfile(str(workdir / "feats" / f"{tok}.mag"), dim=60)
+        b = read_binfile(str(feats_dp / f"{tok}.mag"), dim=60)
+        assert a.shape == b.shape
+        assert np.array_equal(a, b)
