@@ -192,6 +192,36 @@ def cmd_generate(args) -> int:
     return 1 if res.failed else 0
 
 
+def cmd_eval(args) -> int:
+    """Objective comparison of two corpora: waveform MSD (CALMCD stand-in,
+    development/run_merlin_experiment.py:191) or .mag feature distortion
+    (development/compare_mags.py)."""
+    import json
+    from .io import read_scp_file, read_wav, read_binfile
+    from .utils.eval import (mel_spectral_distortion,
+                             log_spectral_distortion_feats)
+
+    tokens = read_scp_file(args.scp)
+    per_utt = {}
+    for tok in tokens:
+        if args.mode == "wav":
+            a, fs = read_wav(os.path.join(args.ref_dir, tok + ".wav"))
+            b, _ = read_wav(os.path.join(args.cand_dir, tok + ".wav"))
+            d = mel_spectral_distortion(a, b, fs,
+                                        exclude_gain=args.exclude_gain)
+        else:
+            a = read_binfile(os.path.join(args.ref_dir, tok + ".mag"),
+                             args.mag_dim)
+            b = read_binfile(os.path.join(args.cand_dir, tok + ".mag"),
+                             args.mag_dim)
+            d = log_spectral_distortion_feats(a, b)
+        per_utt[tok] = round(d, 3)
+    mean = sum(per_utt.values()) / max(len(per_utt), 1)
+    print(json.dumps({"metric": f"msd_{args.mode}", "mean_db": round(mean, 3),
+                      "per_utt": per_utt}))
+    return 0
+
+
 def cmd_convert_labels(args) -> int:
     from .io import read_scp_file, mkdir, read_binfile
     from .io.labels import (convert_label_state_align_to_var_frame_rate,
@@ -252,6 +282,15 @@ def main(argv=None) -> int:
     pg.add_argument("--data-parallel", action="store_true",
                     help="shard batches over all local devices")
     pg.set_defaults(fn=cmd_generate)
+
+    pv = sub.add_parser("eval", help="objective MSD between two corpora")
+    pv.add_argument("--scp", required=True)
+    pv.add_argument("--ref-dir", required=True)
+    pv.add_argument("--cand-dir", required=True)
+    pv.add_argument("--mode", default="wav", choices=["wav", "feats"])
+    pv.add_argument("--mag-dim", type=int, default=60)
+    pv.add_argument("--exclude-gain", action="store_true")
+    pv.set_defaults(fn=cmd_eval)
 
     pc = sub.add_parser("convert-labels",
                         help="state-aligned labels -> variable frame rate")

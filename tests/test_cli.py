@@ -95,3 +95,23 @@ def test_extract_data_parallel_and_sorted(workdir):
         b = read_binfile(str(feats_dp / f"{tok}.mag"), dim=60)
         assert a.shape == b.shape
         assert np.array_equal(a, b)
+
+
+def test_eval_command(workdir, capsys):
+    import json
+    # identical dirs -> near-zero waveform MSD
+    rc = cli_main(["eval", "--scp", str(workdir / "two.scp"),
+                   "--ref-dir", os.path.join(DATA, "wavs_nat"),
+                   "--cand-dir", os.path.join(DATA, "wavs_nat")])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["mean_db"] == 0.0
+
+    # feature-mode against the extracted corpus
+    rc = cli_main(["eval", "--scp", str(workdir / "two.scp"),
+                   "--ref-dir", str(workdir / "feats"),
+                   "--cand-dir", str(workdir / "feats"),
+                   "--mode", "feats"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["mean_db"] == 0.0
