@@ -27,6 +27,19 @@ def _add_common(p):
     p.add_argument("--crash-list", default=None)
 
 
+def _host_partition(tokens):
+    """Multi-host corpus runs: this process's token shard + a per-host
+    manifest file name (hosts share the output dir; per-utterance writes
+    are disjoint but the manifest must not be contended)."""
+    import jax
+    n = jax.process_count()
+    if n <= 1:
+        return tokens, ".magphase_manifest.json"
+    from .parallel.mesh import partition_tokens
+    return (partition_tokens(tokens),
+            f".magphase_manifest.p{jax.process_index()}.json")
+
+
 def _maybe_mesh(flag: bool):
     """A 1-D data mesh over all local devices when requested (>1 device)."""
     if not flag:
@@ -65,6 +78,7 @@ def cmd_extract(args) -> int:
 
     if args.batch_size > 1:
         mesh = _maybe_mesh(args.data_parallel)
+        tokens, manifest_name = _host_partition(tokens)
         # device-batched production path: tracking + analysis + compression
         # fused in one program per chunk (vs one REAPER + three SPTK
         # subprocesses per utterance in the reference, stack SURVEY.md §3.2)
@@ -106,7 +120,8 @@ def cmd_extract(args) -> int:
 
         res = run_corpus_batched(tokens, process_batch, args.out_dir,
                                  batch_size=args.batch_size, config=config,
-                                 crash_list_path=args.crash_list)
+                                 crash_list_path=args.crash_list,
+                                 manifest_name=manifest_name)
         res.metrics.log_summary()
         return 1 if res.failed else 0
 
@@ -141,6 +156,7 @@ def cmd_generate(args) -> int:
               "phase_dim": args.phase_dim, "pf_type": args.pf_type,
               "const_rate": args.const_rate}
     mesh = _maybe_mesh(args.data_parallel)
+    tokens, manifest_name = _host_partition(tokens)
 
     if args.const_rate:
         # constant-rate inputs need the per-utterance backward shift walk
@@ -155,7 +171,8 @@ def cmd_generate(args) -> int:
                 b_const_rate=True, key=sub)
 
         res = run_corpus(tokens, process, args.out_dir, config=config,
-                         crash_list_path=args.crash_list)
+                         crash_list_path=args.crash_list,
+                         manifest_name=manifest_name)
         res.metrics.log_summary()
         return 1 if res.failed else 0
 
@@ -187,7 +204,8 @@ def cmd_generate(args) -> int:
 
     res = run_corpus_batched(tokens, process_batch, args.out_dir,
                              batch_size=args.batch_size, config=config,
-                             crash_list_path=args.crash_list)
+                             crash_list_path=args.crash_list,
+                             manifest_name=manifest_name)
     res.metrics.log_summary()
     return 1 if res.failed else 0
 

@@ -57,6 +57,23 @@ def batch_step(mesh: Mesh | None, base: int = 8) -> int:
     return math.lcm(base, mesh.size)
 
 
+def partition_tokens(tokens, process_index: int | None = None,
+                     process_count: int | None = None):
+    """This host's share of a corpus token list (round-robin).
+
+    Corpus work is embarrassingly parallel per utterance, so multi-host
+    runs partition TOKENS across processes (each host batching over its
+    local devices) instead of coordinating one global array — the
+    reference's Pool-over-utterances (libutils.py:32-63) generalised to
+    hosts.  Round-robin keeps length-sorted order roughly balanced."""
+    if process_count is None:
+        process_count = jax.process_count()
+        process_index = jax.process_index()
+    if process_count <= 1:
+        return list(tokens)
+    return list(tokens)[process_index::process_count]
+
+
 def maybe_initialize_distributed() -> None:
     """Multi-host initialisation (jax.distributed) — no-op when the
     coordinator env vars are absent (single host)."""

@@ -27,8 +27,9 @@ class CorpusResult:
 class Manifest:
     """JSON manifest of completed utterance tokens in an output dir."""
 
-    def __init__(self, out_dir: str, config: dict | None = None):
-        self.path = os.path.join(out_dir, ".magphase_manifest.json")
+    def __init__(self, out_dir: str, config: dict | None = None,
+                 name: str = ".magphase_manifest.json"):
+        self.path = os.path.join(out_dir, name)
         self.config = config or {}
         self.done: set[str] = set()
         if os.path.exists(self.path):
@@ -52,14 +53,16 @@ class Manifest:
 
 def run_corpus(tokens, process_fn, out_dir: str, config: dict | None = None,
                crash_list_path: str | None = None,
-               save_every: int = 25) -> CorpusResult:
+               save_every: int = 25,
+               manifest_name: str = ".magphase_manifest.json"
+               ) -> CorpusResult:
     """Run ``process_fn(token)`` over utterance tokens with isolation.
 
     Failed tokens are logged, appended to the crash list, and skipped;
     completed tokens go in the manifest and are skipped on re-runs.
     """
     os.makedirs(out_dir, exist_ok=True)
-    manifest = Manifest(out_dir, config)
+    manifest = Manifest(out_dir, config, manifest_name)
     res = CorpusResult()
 
     for i, tok in enumerate(tokens):
@@ -91,7 +94,9 @@ def run_corpus(tokens, process_fn, out_dir: str, config: dict | None = None,
 def run_corpus_batched(tokens, process_batch_fn, out_dir: str,
                        batch_size: int = 8, config: dict | None = None,
                        crash_list_path: str | None = None,
-                       pipeline_depth: int = 2) -> CorpusResult:
+                       pipeline_depth: int = 2,
+                       manifest_name: str = ".magphase_manifest.json"
+                       ) -> CorpusResult:
     """Run ``process_batch_fn(token_chunk) -> [audio_seconds, ...]`` over
     utterance chunks (device-batched pipelines).
 
@@ -108,7 +113,7 @@ def run_corpus_batched(tokens, process_batch_fn, out_dir: str,
     from collections import deque
 
     os.makedirs(out_dir, exist_ok=True)
-    manifest = Manifest(out_dir, config)
+    manifest = Manifest(out_dir, config, manifest_name)
     res = CorpusResult()
 
     pending = []

@@ -130,3 +130,13 @@ def test_budget_split_nonblocking_matches_blocking(monkeypatch):
     # same audio content as the unsplit run (same key -> same noise split)
     for a, b in zip(ref, split_blocking):
         assert len(a) == len(b)
+
+
+def test_partition_tokens_round_robin():
+    from magphase_tpu.parallel.mesh import partition_tokens
+    toks = [f"u{i}" for i in range(10)]
+    shards = [partition_tokens(toks, i, 3) for i in range(3)]
+    assert sorted(sum(shards, [])) == sorted(toks)
+    assert max(len(s) for s in shards) - min(len(s) for s in shards) <= 1
+    # single process: identity
+    assert partition_tokens(toks, 0, 1) == toks
