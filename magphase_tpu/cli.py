@@ -27,10 +27,20 @@ def _add_common(p):
     p.add_argument("--crash-list", default=None)
 
 
+def _distributed_setup():
+    """Multi-host init — call FIRST in every corpus command, before any
+    other JAX call (jax.distributed.initialize refuses once the backend
+    exists).  Gated on the coordinator env var; no-op on single host."""
+    from .parallel.mesh import maybe_initialize_distributed
+    maybe_initialize_distributed()
+
+
 def _host_partition(tokens):
     """Multi-host corpus runs: this process's token shard + a per-host
     manifest file name (hosts share the output dir; per-utterance writes
-    are disjoint but the manifest must not be contended)."""
+    are disjoint but the manifest must not be contended).  Applies
+    whenever the process group is initialised, independent of the
+    device-sharding flag."""
     import jax
     n = jax.process_count()
     if n <= 1:
@@ -41,15 +51,20 @@ def _host_partition(tokens):
 
 
 def _maybe_mesh(flag: bool):
-    """A 1-D data mesh over all local devices when requested (>1 device)."""
+    """A 1-D data mesh over this host's LOCAL devices when requested.
+
+    Multi-host runs partition TOKENS across hosts (each host drives its
+    own local mesh with different data), so a global mesh would be wrong:
+    multi-process jax requires identical per-process programs on shared
+    global arrays."""
     if not flag:
         return None
     import jax
-    from .parallel.mesh import data_mesh, maybe_initialize_distributed
-    maybe_initialize_distributed()
-    if len(jax.devices()) < 2:
+    from .parallel.mesh import data_mesh
+    local = jax.local_devices()
+    if len(local) < 2:
         return None
-    return data_mesh()
+    return data_mesh(devices=local)
 
 
 def cmd_extract(args) -> int:
@@ -59,6 +74,7 @@ def cmd_extract(args) -> int:
     from .utils.metrics import setup_logging
     from .vocoder import analysis_for_acoustic_modelling
 
+    _distributed_setup()   # before ANY other jax call
     setup_logging()
     tokens = read_scp_file(args.scp)
     mkdir(args.out_dir)
@@ -73,12 +89,15 @@ def cmd_extract(args) -> int:
             lens = {t: read_wav_info(
                 os.path.join(args.wav_dir, t + ".wav"))[0] for t in tokens}
             tokens = sorted(tokens, key=lambda t: lens[t])
-        except OSError:
-            pass   # missing files surface later with crash-list handling
+        except Exception:
+            # unreadable/corrupt files surface later, where crash-list
+            # isolation applies per utterance (read_wav_info can raise
+            # ValueError/struct.error, not just OSError)
+            pass
 
+    tokens, manifest_name = _host_partition(tokens)
     if args.batch_size > 1:
         mesh = _maybe_mesh(args.data_parallel)
-        tokens, manifest_name = _host_partition(tokens)
         # device-batched production path: tracking + analysis + compression
         # fused in one program per chunk (vs one REAPER + three SPTK
         # subprocesses per utterance in the reference, stack SURVEY.md §3.2)
@@ -135,12 +154,14 @@ def cmd_extract(args) -> int:
         return len(sig) / fs
 
     res = run_corpus(tokens, process, args.out_dir, config=config,
-                     crash_list_path=args.crash_list)
+                     crash_list_path=args.crash_list,
+                     manifest_name=manifest_name)
     res.metrics.log_summary()
     return 1 if res.failed else 0
 
 
 def cmd_generate(args) -> int:
+    _distributed_setup()   # before ANY other jax call
     import jax
     import numpy as np
     from .io import read_scp_file, mkdir, read_binfile, write_audio_file
@@ -224,7 +245,10 @@ def cmd_eval(args) -> int:
     for tok in tokens:
         if args.mode == "wav":
             a, fs = read_wav(os.path.join(args.ref_dir, tok + ".wav"))
-            b, _ = read_wav(os.path.join(args.cand_dir, tok + ".wav"))
+            b, fs_b = read_wav(os.path.join(args.cand_dir, tok + ".wav"))
+            if fs_b != fs:
+                raise ValueError(f"{tok}: sample rate mismatch "
+                                 f"(ref {fs}, cand {fs_b})")
             d = mel_spectral_distortion(a, b, fs,
                                         exclude_gain=args.exclude_gain)
         else:

@@ -19,6 +19,16 @@ _WAVE_FORMAT_IEEE_FLOAT = 0x0003
 _WAVE_FORMAT_EXTENSIBLE = 0xFFFE
 
 
+def _unpack_fmt(body: bytes, chunk_sz: int):
+    """fmt chunk fields, resolving WAVE_FORMAT_EXTENSIBLE's sub-format."""
+    fmt = struct.unpack("<HHIIHH", body[:16])
+    if fmt[0] == _WAVE_FORMAT_EXTENSIBLE and chunk_sz >= 40 and \
+            len(body) >= 26:
+        sub = struct.unpack("<H", body[24:26])[0]
+        fmt = (sub,) + fmt[1:]
+    return fmt
+
+
 def read_wav(path: str, always_2d: bool = False) -> tuple[np.ndarray, int]:
     """Read a WAV file -> (float64 signal in [-1, 1), sample_rate).
 
@@ -39,10 +49,7 @@ def read_wav(path: str, always_2d: bool = False) -> tuple[np.ndarray, int]:
         chunk_sz = struct.unpack("<I", data[pos + 4:pos + 8])[0]
         body = data[pos + 8:pos + 8 + chunk_sz]
         if chunk_id == b"fmt ":
-            fmt = struct.unpack("<HHIIHH", body[:16])
-            if fmt[0] == _WAVE_FORMAT_EXTENSIBLE and chunk_sz >= 40:
-                sub = struct.unpack("<H", body[24:26])[0]
-                fmt = (sub,) + fmt[1:]
+            fmt = _unpack_fmt(body, chunk_sz)
         elif chunk_id == b"data":
             raw = body
         pos += 8 + chunk_sz + (chunk_sz & 1)  # chunks are word-aligned
@@ -98,8 +105,9 @@ def read_wav_info(path: str) -> tuple[int, int]:
             chunk_id = hdr[:4]
             chunk_sz = struct.unpack("<I", hdr[4:])[0]
             if chunk_id == b"fmt ":
-                fmt = struct.unpack("<HHIIHH", f.read(16))
-                f.seek(chunk_sz - 16 + (chunk_sz & 1), 1)
+                body = f.read(min(chunk_sz, 40))
+                fmt = _unpack_fmt(body, chunk_sz)
+                f.seek(chunk_sz - len(body) + (chunk_sz & 1), 1)
             else:
                 if chunk_id == b"data":
                     data_size = chunk_sz

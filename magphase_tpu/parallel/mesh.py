@@ -75,9 +75,14 @@ def partition_tokens(tokens, process_index: int | None = None,
 
 
 def maybe_initialize_distributed() -> None:
-    """Multi-host initialisation (jax.distributed) — no-op when the
-    coordinator env vars are absent (single host)."""
+    """Multi-host initialisation — MUST run before any other JAX call
+    (jax.distributed.initialize raises once the XLA backend exists, and
+    even jax.process_count() initialises it).  Gated purely on the
+    coordinator env var; idempotent."""
     import os
-    if "JAX_COORDINATOR_ADDRESS" in os.environ and \
-            jax.process_count() == 1:
+    if "JAX_COORDINATOR_ADDRESS" not in os.environ:
+        return
+    try:
         jax.distributed.initialize()
+    except RuntimeError:
+        pass   # already initialised

@@ -8,43 +8,34 @@ filter bank -> frame-wise log-spectral RMS in dB.
 """
 from __future__ import annotations
 
-import functools
-
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-from ..core import fbank
-from ..core.spectral import protected_log
-
 _DB = 10.0 / np.log(10.0) * np.sqrt(2.0)   # MCD constant
-
-
-@functools.partial(jax.jit, static_argnames=("fs", "n_mel", "win_ms",
-                                             "hop_ms", "fft_len", "alpha"))
-def _logmel_kernel(sig, *, fs: int, n_mel: int, win_ms: float, hop_ms: float,
-                   fft_len: int, alpha: float):
-    win_len = int(round(fs * win_ms / 1000.0))
-    hop = int(round(fs * hop_ms / 1000.0))
-    n_frames = 1 + (sig.shape[0] - win_len) // hop
-    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(win_len)[None, :]
-    frames = sig[idx] * jnp.hanning(win_len)[None, :]
-    spec = jnp.abs(jnp.fft.rfft(frames, n=fft_len))
-    m_mel = fbank.apply_fbank(spec, alpha, n_mel)
-    return protected_log(jnp.maximum(m_mel, 1e-10))
 
 
 def log_mel_spectrogram(v_sig, fs: int, n_mel: int = 60,
                         win_ms: float = 25.0, hop_ms: float = 5.0,
                         fft_len: int = 2048, alpha: float | None = None):
-    """Constant-rate log-mel spectrogram (numpy in/out, device compute)."""
+    """Constant-rate log-mel spectrogram — HOST numpy.
+
+    This is a metric, not a synthesis path: jit would specialise on every
+    distinct utterance length (one slow remote compile each on the real
+    chip), so the FFT + fixed filter-bank matmul run in numpy."""
     from ..config import define_alpha
+    from ..core.fbank import _fbank_matrix_np
     if alpha is None:
         alpha = define_alpha(fs)
-    sig = jnp.asarray(np.asarray(v_sig, np.float32))
-    return np.asarray(jax.device_get(_logmel_kernel(
-        sig, fs=fs, n_mel=n_mel, win_ms=win_ms, hop_ms=hop_ms,
-        fft_len=fft_len, alpha=alpha)))
+    sig = np.asarray(v_sig, np.float32)
+    win_len = int(round(fs * win_ms / 1000.0))
+    hop = int(round(fs * hop_ms / 1000.0))
+    n_frames = max(1, 1 + (len(sig) - win_len) // hop)
+    idx = np.minimum(np.arange(n_frames)[:, None] * hop +
+                     np.arange(win_len)[None, :], max(len(sig) - 1, 0))
+    frames = sig[idx] * np.hanning(win_len)[None, :]
+    spec = np.abs(np.fft.rfft(frames, n=fft_len))
+    B = _fbank_matrix_np(alpha, spec.shape[1], n_mel)
+    m_mel = spec @ np.asarray(B, np.float64)
+    return np.log(np.maximum(m_mel, 1e-10))
 
 
 def align_by_xcorr(v_sig_a, v_sig_b, fs: int,

@@ -36,13 +36,20 @@ def test_generate_waveforms(workdir):
         assert 0.5 < np.max(np.abs(sig)) <= 1.0   # peak-normalised
 
 
-def test_extract_features_and_convert_labels(workdir):
+def _ensure_feats(workdir):
+    """Baseline extracted features (idempotent via the manifest) so tests
+    do not depend on execution order."""
     feats = workdir / "feats"
     rc = cli_main(["extract", "--scp", str(workdir / "two.scp"),
                    "--wav-dir", os.path.join(DATA, "wavs_nat"),
                    "--out-dir", str(feats),
                    "--mag-dim", "60", "--phase-dim", "45"])
     assert rc == 0
+    return feats
+
+
+def test_extract_features_and_convert_labels(workdir):
+    feats = _ensure_feats(workdir)
     for tok in ("hvd_593", "hvd_594"):
         mag = read_binfile(str(feats / f"{tok}.mag"), dim=60)
         lf0 = read_binfile(str(feats / f"{tok}.lf0"), dim=1)
@@ -83,6 +90,7 @@ def test_extract_features_and_convert_labels(workdir):
 def test_extract_data_parallel_and_sorted(workdir):
     """--data-parallel shards chunks over the 8 virtual devices; length
     sorting must not change per-utterance features."""
+    _ensure_feats(workdir)
     feats_dp = workdir / "feats_dp"
     rc = cli_main(["extract", "--scp", str(workdir / "two.scp"),
                    "--wav-dir", os.path.join(DATA, "wavs_nat"),
@@ -99,6 +107,7 @@ def test_extract_data_parallel_and_sorted(workdir):
 
 def test_eval_command(workdir, capsys):
     import json
+    _ensure_feats(workdir)
     # identical dirs -> near-zero waveform MSD
     rc = cli_main(["eval", "--scp", str(workdir / "two.scp"),
                    "--ref-dir", os.path.join(DATA, "wavs_nat"),
