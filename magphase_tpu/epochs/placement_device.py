@@ -1,12 +1,12 @@
 """On-device epoch placement: the period-integrating mark walk as a
-batched lax.fori_loop.
+batched early-exit lax.while_loop.
 
 The walk is inherently sequential over marks (each mark's position feeds
-the next), but it is trivially vmappable over utterances: one fori_loop of
-M_max steps advances every utterance's walker in lockstep.  This keeps the
-whole copy-synthesis pipeline device-resident (no signal download for the
-host walk in epochs/tracker.py:place_epochs — the two implementations are
-the same algorithm; see tests/test_epochs_device.py).
+the next), but it is trivially vmappable over utterances: one loop
+advances every utterance's walker in lockstep until all are done.  This
+keeps the fused pipelines device-resident (no signal download for the
+host walk in epochs/tracker.py:place_epochs — the two implementations
+are sample-exact equals; see tests/test_copy_synthesis_batch.py).
 """
 from __future__ import annotations
 
