@@ -224,31 +224,38 @@ def _const_resample_batch(mag, real, imag, f0, pm, nfrms, *, crs: float,
 
 
 @functools.partial(jax.jit, static_argnames=("fs", "n_pad", "n_frames_max",
-                                             "m_max", "fft_len", "mag_dim",
-                                             "phase_dim", "mag_dim_ph",
-                                             "alpha", "alpha_phase",
-                                             "fc_max"))
-def _fused_track_compress_kernel(sigs, n_sigs, n_frames, *, fs: int,
-                                 n_pad: int, n_frames_max: int, m_max: int,
-                                 fft_len: int, mag_dim: int, phase_dim: int,
-                                 mag_dim_ph: int, alpha: float,
-                                 alpha_phase: float, fc_max: int = 0):
-    """Tracking + placement + analysis + mel-compression, ONE program.
-
-    The production feature-extraction path (reference stack 3.2:
-    REAPER + 3 SPTK subprocesses per utterance) fused end-to-end; only the
-    (B, F, mag_dim/phase_dim) compressed streams cross the host link.
-    fc_max > 0 selects constant 5 ms frame-rate output (the lossless
-    streams are regridded on device before compression)."""
-    from ..vocoder.lossless import analysis_core_batch
-
+                                             "m_max"))
+def _track_place_kernel(sigs, n_sigs, n_frames, *, fs: int, n_pad: int,
+                        n_frames_max: int, m_max: int):
+    """Phase 1 of the two-phase production path: tracking + placement.
+    Returns (marks, flags, n_marks) — stays on device."""
     track_one = functools.partial(
         track_and_place_one, fs=fs, n_pad=n_pad,
         n_frames_max=n_frames_max, m_max=m_max)
-    marks, flags, n_marks = jax.vmap(track_one)(sigs, n_sigs, n_frames)
+    return jax.vmap(track_one)(sigs, n_sigs, n_frames)
+
+
+@functools.partial(jax.jit, static_argnames=("fs", "fft_len", "F",
+                                             "mag_dim", "phase_dim",
+                                             "mag_dim_ph", "alpha",
+                                             "alpha_phase", "fc_max"))
+def _analyze_compress_kernel(sigs, marks, flags, n_marks, n_sigs, *,
+                             fs: int, fft_len: int, F: int, mag_dim: int,
+                             phase_dim: int, mag_dim_ph: int, alpha: float,
+                             alpha_phase: float, fc_max: int = 0):
+    """Phase 2: analysis + mel-compression at the REALISED frame bucket F.
+
+    The walk capacity m_max is the 400-marks/s worst case; real speech
+    places ~40% of that, so running the FFT + mcep solve at
+    F = bucket(max n_marks) instead of m_max cuts the padded frame
+    compute ~2x.  Only the tiny n_marks array crosses the host link
+    between the phases (the signals and marks stay on device)."""
+    from ..vocoder.lossless import analysis_core_batch
+
+    marks = marks[:, :F]
+    flags = flags[:, :F]
     mag, real, imag, f0, shift = analysis_core_batch(
         sigs, marks, n_marks, n_sigs, flags, fft_len=fft_len, fs=fs)
-
     if fc_max > 0:
         mag, real, imag, f0, n_valid = _const_resample_batch(
             mag, real, imag, f0, marks, n_marks,
@@ -258,7 +265,7 @@ def _fused_track_compress_kernel(sigs, n_sigs, n_frames, *, fs: int,
     mml, mrm, mim, lf0 = _compress_streams(
         mag, real, imag, f0, mag_dim=mag_dim, phase_dim=phase_dim,
         mag_dim_ph=mag_dim_ph, alpha=alpha, alpha_phase=alpha_phase)
-    return mml, mrm, mim, lf0, shift, n_marks, n_valid
+    return mml, mrm, mim, lf0, shift, n_valid
 
 
 @functools.partial(jax.jit, static_argnames=("fft_len", "fs"))
@@ -520,21 +527,29 @@ def analysis_compressed_batch_async(signals: list, fs: int,
             group, fs, mesh, fft_len=fft_len)
         fc_max = (bucket(int(np.ceil(S / (fs * 5.0 / 1000.0))), FRM_STEP)
                   if b_const_rate else 0)
-        mml, mrm, mim, lf0, shift, n_marks, n_valid = \
-            _fused_track_compress_kernel(
-                *dev, fs=fs, n_pad=S, n_frames_max=Tmax, m_max=m_max,
-                fft_len=fft_len, mag_dim=mag_dim, phase_dim=phase_dim,
-                mag_dim_ph=mag_dim_ph, alpha=alpha,
-                alpha_phase=alpha_phase, fc_max=fc_max)
+        # phase 1 (async): tracking + placement at the worst-case capacity
+        marks, flags, n_marks = _track_place_kernel(
+            *dev, fs=fs, n_pad=S, n_frames_max=Tmax, m_max=m_max)
 
         def finalize_group():
+            # the only inter-phase host transfer: (B,) mark counts
             nm = np.asarray(jax.device_get(n_marks))
-            nv = np.asarray(jax.device_get(n_valid))
-            Fa = bucket(int(nv.max()), FRM_STEP)
-            a, b_, c, d = jax.device_get(_trim_frames(
-                (mml, mrm, mim, lf0), n=Fa))
-            Fs_ = min(m_max, bucket(int(nm.max()), FRM_STEP))
-            sh = jax.device_get(_trim_frames((shift,), n=Fs_))[0]
+            Fa = min(m_max, bucket(int(nm.max()), FRM_STEP))
+            # phase 2: analysis + compression at the realised bucket
+            mml, mrm, mim, lf0, shift, n_valid = _analyze_compress_kernel(
+                dev[0], marks, flags, n_marks, dev[1], fs=fs,
+                fft_len=fft_len, F=Fa, mag_dim=mag_dim,
+                phase_dim=phase_dim, mag_dim_ph=mag_dim_ph, alpha=alpha,
+                alpha_phase=alpha_phase, fc_max=fc_max)
+            if fc_max > 0:
+                nv = np.asarray(jax.device_get(n_valid))
+                Fv = bucket(int(nv.max()), FRM_STEP)
+                a, b_, c, d = jax.device_get(_trim_frames(
+                    (mml, mrm, mim, lf0), n=Fv))
+            else:
+                nv = nm
+                a, b_, c, d = jax.device_get((mml, mrm, mim, lf0))
+            sh = jax.device_get(shift)
             out = []
             for b in range(n_real):
                 n = int(nv[b])
