@@ -98,9 +98,10 @@ def cmd_extract(args) -> int:
     tokens, manifest_name = _host_partition(tokens)
     if args.batch_size > 1:
         mesh = _maybe_mesh(args.data_parallel)
-        # device-batched production path: tracking + analysis + compression
-        # fused in one program per chunk (vs one REAPER + three SPTK
-        # subprocesses per utterance in the reference, stack SURVEY.md §3.2)
+        # device-batched production path: two fused programs per chunk
+        # (tracking+placement, then analysis+compression) vs one REAPER +
+        # three SPTK subprocesses per utterance in the reference
+        # (stack SURVEY.md §3.2)
         from .parallel.analysis_batch import analysis_compressed_batch_async
 
         def process_batch(chunk):

@@ -2,10 +2,10 @@
 mel-compression for many utterances in fused device calls.
 
 Replaces the reference's Pool-parallel batch_feature_extraction_for_tts.py
-(one process + one REAPER + three SPTK subprocesses per utterance) with:
-device-batched NCCF/Viterbi tracking, a host O(n_marks) epoch walk per
-utterance, then batched analysis + compression kernels, all shardable over
-the 'data' mesh axis.
+(one process + one REAPER + three SPTK subprocesses per utterance) with
+two device programs per utterance batch — tracking + on-device epoch
+placement, then analysis + mel-compression at the realised frame bucket —
+all shardable over the 'data' mesh axis.
 """
 from __future__ import annotations
 
@@ -19,7 +19,7 @@ from ..config import define_alpha, define_crossfade_params, define_fft_len
 from ..epochs import tracker
 from ..epochs.placement_device import placement_m_max, track_and_place_one
 from ..utils.padding import (FRM_STEP, MAX_FRAME_ELEMS, bucket,
-                             bucket_signal, pad_to)
+                             bucket_frames, bucket_signal, pad_to)
 from ..vocoder.compressed import (
     _format_kernel, get_num_full_mel_coeffs_from_num_phase_coeffs)
 from .mesh import capped_batch_step, shard_batch
@@ -506,14 +506,16 @@ def analysis_compressed_batch_async(signals: list, fs: int,
                                     alpha_phase: float | None = None,
                                     b_const_rate: bool = False,
                                     mesh=None):
-    """Dispatch the fused tracker+analysis+compression program for one
-    utterance batch WITHOUT blocking; returns ``finalize() -> feats``.
+    """Dispatch the two-phase tracking -> analysis+compression production
+    path for one utterance batch WITHOUT blocking; returns
+    ``finalize() -> feats``.
 
-    JAX dispatch is asynchronous, so the caller can upload + launch the
-    next chunk (and do host file IO) while this one computes — the corpus
-    runner keeps two chunks in flight to overlap the host link with device
-    time (run_corpus_batched with deferred results).
-    """
+    Phase 1 (tracking + on-device epoch placement) launches immediately;
+    phase 2 (analysis + compression at the realised frame bucket) is
+    launched inside finalize after syncing only the (B,) mark counts —
+    and for the NEXT group before downloading the current group's
+    features, so the device computes through every download.  The corpus
+    runner keeps two chunks in flight on top (run_corpus_batched)."""
     alpha = define_alpha(fs)
     if fft_len is None:
         fft_len = define_fft_len(fs)
@@ -531,57 +533,67 @@ def analysis_compressed_batch_async(signals: list, fs: int,
         marks, flags, n_marks = _track_place_kernel(
             *dev, fs=fs, n_pad=S, n_frames_max=Tmax, m_max=m_max)
 
-        def finalize_group():
+        def start_phase2():
             # the only inter-phase host transfer: (B,) mark counts
             nm = np.asarray(jax.device_get(n_marks))
-            Fa = min(m_max, bucket(int(nm.max()), FRM_STEP))
-            # phase 2: analysis + compression at the realised bucket
+            # geometric frame bucket: the realised count varies per chunk
+            # by CONTENT, so linear bucketing would compile one variant
+            # per 128-frame step
+            Fa = min(m_max, bucket_frames(int(nm.max())))
+            # phase 2 (async): analysis + compression at the realised
+            # bucket — dispatched before the PREVIOUS group's download so
+            # the device computes through it
             mml, mrm, mim, lf0, shift, n_valid = _analyze_compress_kernel(
                 dev[0], marks, flags, n_marks, dev[1], fs=fs,
                 fft_len=fft_len, F=Fa, mag_dim=mag_dim,
                 phase_dim=phase_dim, mag_dim_ph=mag_dim_ph, alpha=alpha,
                 alpha_phase=alpha_phase, fc_max=fc_max)
-            if fc_max > 0:
-                nv = np.asarray(jax.device_get(n_valid))
-                Fv = bucket(int(nv.max()), FRM_STEP)
-                a, b_, c, d = jax.device_get(_trim_frames(
-                    (mml, mrm, mim, lf0), n=Fv))
-            else:
-                nv = nm
-                a, b_, c, d = jax.device_get((mml, mrm, mim, lf0))
-            sh = jax.device_get(shift)
-            out = []
-            for b in range(n_real):
-                n = int(nv[b])
-                out.append((a[b, :n].astype(np.float64),
-                            b_[b, :n].astype(np.float64),
-                            c[b, :n].astype(np.float64),
-                            d[b, :n].astype(np.float64),
-                            sh[b, :int(nm[b])].astype(np.int64)))
 
-            # capacity-exhausted walks (pathological mark density): redo
-            # those utterances with the exact host walk + given-epochs path
-            trunc = [b for b in range(n_real) if int(nm[b]) >= m_max]
-            if trunc:
-                from ..epochs.tracker import extract_epochs
-                from ..utils.metrics import logger
-                logger.warning("epoch-walk capacity hit for %d utterance(s);"
-                               " host-walk fallback", len(trunc))
-                eps = [extract_epochs(signals[b], fs) for b in trunc]
-                fixed = analysis_compressed_batch(
-                    [signals[b] for b in trunc], fs, mag_dim=mag_dim,
-                    phase_dim=phase_dim, fft_len=fft_len,
-                    alpha_phase=alpha_phase, b_const_rate=b_const_rate,
-                    epochs=eps)
-                for j, b in enumerate(trunc):
-                    out[b] = fixed[j]
-            return out
+            def download():
+                if fc_max > 0:
+                    nv = np.asarray(jax.device_get(n_valid))
+                    Fv = bucket_frames(int(nv.max()))
+                    a, b_, c, d = jax.device_get(_trim_frames(
+                        (mml, mrm, mim, lf0), n=Fv))
+                else:
+                    nv = nm
+                    a, b_, c, d = jax.device_get((mml, mrm, mim, lf0))
+                sh = jax.device_get(shift)
+                out = []
+                for b in range(n_real):
+                    n = int(nv[b])
+                    out.append((a[b, :n].astype(np.float64),
+                                b_[b, :n].astype(np.float64),
+                                c[b, :n].astype(np.float64),
+                                d[b, :n].astype(np.float64),
+                                sh[b, :int(nm[b])].astype(np.int64)))
 
-        return finalize_group
+                # capacity-exhausted walks (pathological mark density):
+                # redo those with the exact host walk + given-epochs path
+                trunc = [b for b in range(n_real) if int(nm[b]) >= m_max]
+                if trunc:
+                    from ..epochs.tracker import extract_epochs
+                    from ..utils.metrics import logger
+                    logger.warning("epoch-walk capacity hit for %d "
+                                   "utterance(s); host-walk fallback",
+                                   len(trunc))
+                    eps = [extract_epochs(signals[b], fs) for b in trunc]
+                    fixed = analysis_compressed_batch(
+                        [signals[b] for b in trunc], fs, mag_dim=mag_dim,
+                        phase_dim=phase_dim, fft_len=fft_len,
+                        alpha_phase=alpha_phase, b_const_rate=b_const_rate,
+                        epochs=eps)
+                    for j, b in enumerate(trunc):
+                        out[b] = fixed[j]
+                return out
+
+            return download
+
+        return start_phase2
 
     # HBM budget: long utterances are dispatched in smaller sub-batches,
-    # at most two in flight so resident input buffers stay bounded while
-    # the next group's upload still overlaps the previous group's compute
+    # at most two phase-1 programs in flight so resident input buffers
+    # stay bounded while the next group's upload overlaps device time
     from collections import deque
     pending = deque(_split_for_budget(signals, fs, fft_len, mesh))
     inflight = deque()
@@ -594,10 +606,16 @@ def analysis_compressed_batch_async(signals: list, fs: int,
 
     def finalize():
         out = []
+        prev_download = None
         while inflight:
-            fin = inflight.popleft()
+            sp2 = inflight.popleft()
             pump()
-            out.extend(fin())
+            dl = sp2()                 # dispatch this group's phase 2
+            if prev_download is not None:
+                out.extend(prev_download())   # overlaps with phase 2 above
+            prev_download = dl
+        if prev_download is not None:
+            out.extend(prev_download())
         return out
 
     return finalize

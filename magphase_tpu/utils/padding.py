@@ -54,6 +54,20 @@ def bucket_signal(n: int) -> int:
     return int(_SIG_GRID[i])
 
 
+_FRM_GRID = _geom_grid() * FRM_STEP
+
+
+def bucket_frames(n: int) -> int:
+    """Geometric frame-count bucket (multiples of FRM_STEP, ~1.25x
+    spaced).  Realised mark counts vary per chunk by CONTENT, so linear
+    bucketing would compile one program variant per 128-frame step;
+    the geometric grid bounds variants logarithmically."""
+    i = int(np.searchsorted(_FRM_GRID, n))
+    if i >= len(_FRM_GRID):
+        return bucket(n, FRM_STEP)
+    return int(_FRM_GRID[i])
+
+
 def pad_to(arr: np.ndarray, n: int, axis: int = 0, value=0) -> np.ndarray:
     pad = n - arr.shape[axis]
     if pad <= 0:

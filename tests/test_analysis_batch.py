@@ -137,3 +137,29 @@ def test_hbm_budget_splits_long_utterance_batches():
     assert all(len(g) <= max_b for g in groups)
     # short utterances keep the single-group fast path
     assert len(_split_for_budget([np.zeros(fs * 2)] * 8, fs, fft_len)) == 1
+
+
+def test_compressed_batch_const_rate_tracker_path():
+    """The production `extract --const-rate` path: tracker epochs (device
+    walk, sample-exact vs host) + device const-rate regrid must match the
+    per-utterance oracle that uses host-extracted epochs."""
+    from magphase_tpu.epochs.tracker import extract_epochs
+    from magphase_tpu.vocoder.compressed import analysis_compressed
+
+    tok = "hvd_594"
+    sig = _load(tok)
+    fs = 48000
+    out = analysis_compressed_batch([sig], fs, mag_dim=60, phase_dim=45,
+                                    b_const_rate=True)   # tracker path
+    mml_b, mrm_b, mim_b, lf0_b, sh_b = out[0]
+
+    pm_sec, voi = extract_epochs(sig, fs)
+    ref = analysis_compressed(f"{DATA}/{tok}.wav", mag_dim=60, phase_dim=45,
+                              b_const_rate=True, pm_sec=pm_sec, voi=voi)
+    mml_r, mrm_r, mim_r, lf0_r, sh_r = ref[:5]
+
+    assert mml_b.shape == mml_r.shape
+    assert np.array_equal(sh_b, np.asarray(sh_r, np.int64))
+    assert np.median(np.abs(mml_b - mml_r)) < 1e-4
+    m = (lf0_b > -1e9) & (lf0_r > -1e9)
+    assert np.max(np.abs(lf0_b[m] - lf0_r[m])) < 2e-3
