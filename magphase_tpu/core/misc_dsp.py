@@ -58,8 +58,16 @@ def smooth_by_conv(m_data: jnp.ndarray, v_win=None) -> jnp.ndarray:
     win_len = len(v_win)
     if win_len < 3:
         return m_data
+    if win_len % 2 == 0:
+        # the reference's extension arithmetic only works for odd windows
+        # (libaudio.py:880 "Length of v_win should be odd"; even lengths
+        # fail a shape assignment there) — error instead of silently
+        # computing a wrong edge value via clamped gathers
+        raise ValueError("smooth_by_conv window length must be odd")
     half = (win_len - 1) // 2
-    k = jnp.asarray(v_win / v_win.sum(), m_data.dtype)
+    # np.convolve FLIPS the kernel (true convolution); the einsum below is
+    # correlation, so flip here to match libaudio.py:901
+    k = jnp.asarray((v_win / v_win.sum())[::-1].copy(), m_data.dtype)
 
     one_d = m_data.ndim == 1
     if one_d:

@@ -176,7 +176,7 @@ def spectral_smoothing_rceps(m_sp_log: jnp.ndarray, nc_total: int = 60,
 
 
 def true_envelope(m_sp: jnp.ndarray, in_type: str = "abs", ncoeffs: int = 60,
-                  thres_db: float = 0.1, n_maxiter: int = 30) -> jnp.ndarray:
+                  thres_db: float = 0.1, n_maxiter: int = 100) -> jnp.ndarray:
     """Iterative true-envelope estimator (libaudio.py:295-340), vectorised
     over frames with a fixed iteration count (jit-friendly: the reference's
     per-frame early-exit becomes a per-frame freeze mask)."""

@@ -75,3 +75,15 @@ def pad_to(arr: np.ndarray, n: int, axis: int = 0, value=0) -> np.ndarray:
     widths = [(0, 0)] * arr.ndim
     widths[axis] = (0, pad)
     return np.pad(arr, widths, constant_values=value)
+
+
+def pad_rows(a, n: int, value=0):
+    """Pad a DEVICE array's leading axis to ``n`` rows (jnp concatenate);
+    the device-side analogue of pad_to for already-uploaded tensors."""
+    import jax.numpy as jnp
+    a = jnp.asarray(a)
+    pad = n - a.shape[0]
+    if pad <= 0:
+        return a
+    return jnp.concatenate(
+        [a, jnp.full((pad,) + a.shape[1:], value, a.dtype)], axis=0)

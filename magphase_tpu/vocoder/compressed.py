@@ -36,7 +36,8 @@ from ..core.spectral import (build_mel_curve, crossfade_down_win_np, db,
 from ..core.windows import HANNING, VOI_NOISE
 from ..io import wav as wav_io
 from ..io.featfile import read_binfile, write_featfile
-from ..utils.padding import FRM_STEP, bucket, bucket_signal, pad_to
+from ..utils.padding import (FRM_STEP, bucket, bucket_signal,
+                             pad_rows, pad_to)
 from . import framerate, lossless
 from .postfilter import post_filter, post_filter_merlin
 
@@ -395,12 +396,7 @@ def synthesis_from_compressed(m_mag_mel_log, m_real_mel, m_imag_mel, v_lf0,
     NS = bucket_signal(ns_len)
 
     def _pad_rows(x):
-        x = jnp.asarray(x, jnp.float32)
-        pad = F - x.shape[0]
-        if pad > 0:
-            x = jnp.concatenate(
-                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
-        return x
+        return pad_rows(jnp.asarray(x, jnp.float32), F)
 
     buf = _synthesis_core_kernel(
         _pad_rows(m_mag_d), _pad_rows(m_real_d), _pad_rows(m_imag_d),
@@ -417,7 +413,8 @@ def synthesis_from_compressed(m_mag_mel_log, m_real_mel, m_imag_mel, v_lf0,
         # 4th-order Butterworth high-pass at 40 Hz (magphase.py:990-995).
         # Host-side float64: the poles sit so close to the unit circle that
         # float32 state recursions are numerically explosive (the on-device
-        # batched path uses the SOS-cascade scan in core/filters.py).
+        # batched path uses the FFT-convolution sosfilt in core/filters.py
+        # for the same reason).
         from scipy import signal as sp_signal
         b, a = butter_highpass_coeffs(4, 40.0, fs)
         v_syn = sp_signal.lfilter(np.asarray(b), np.asarray(a), v_syn)

@@ -47,22 +47,29 @@ def _griffin_lim_kernel(m_mag_half, pm, nfrms, key, *, fft_len: int,
     n_sig = jnp.minimum(
         pm[nfrms - 1] + (pm[nfrms - 1] - pm[nfrms - 2]) + 1, n_sig_max)
 
+    # B=1 batch entry points: these dispatch to the Pallas framing/OLA
+    # kernels on TPU, where the single-utterance paths fall back to the
+    # ~14x slower XLA gather/scatter — and this loop runs both 30 times
+    pm_b, nfrms_b = pm[None], nfrms[None]
+    n_sig_b = n_sig[None]
+
     def body(i, m_phase):
         # synthesis (magphase.py:3357-3360): frames are centred -> OLA
         m_cmplx = m_mag * jnp.exp(1j * m_phase)
-        v_sig = framing.ola_centered(jnp.fft.ifft(m_cmplx).real, pm, nfrms,
-                                     n_sig_max)
+        v_sig = framing.ola_centered_batch(
+            jnp.fft.ifft(m_cmplx).real[None], pm_b, nfrms_b, n_sig_max)[0]
         # re-analysis (3365-3371): pitch-sync windowing, centred layout
-        frames, _, _, _ = framing.pitch_sync_frames(
-            v_sig, pm, nfrms, n_sig, fft_len, win_family=HANNING)
-        centred = jnp.roll(frames, fft_len // 2, axis=1)
+        frames, _, _, _ = framing.pitch_sync_frames_batch(
+            v_sig[None], pm_b, nfrms_b, n_sig_b, fft_len,
+            win_family=HANNING)
+        centred = jnp.roll(frames[0], fft_len // 2, axis=1)
         return jnp.angle(jnp.fft.fft(centred))
 
     m_phase = jax.lax.fori_loop(0, niters - 1, body, m_phase)
     # final synthesis with the last phase (loop breaks before re-analysis)
     m_cmplx = m_mag * jnp.exp(1j * m_phase)
-    v_sig = framing.ola_centered(jnp.fft.ifft(m_cmplx).real, pm, nfrms,
-                                 n_sig_max)
+    v_sig = framing.ola_centered_batch(
+        jnp.fft.ifft(m_cmplx).real[None], pm_b, nfrms_b, n_sig_max)[0]
     return v_sig, m_phase[:, :h]
 
 

@@ -233,10 +233,9 @@ def analysis_lossless(wav_file: str, fft_len: int | None = None,
 
 def f0_to_shift(v_f0_in: np.ndarray, fs: int,
                 unv_frm_rate_ms: float = 5.0) -> np.ndarray:
-    """magphase.py:2210-2215 (host-side, float64)."""
-    v_f0 = np.asarray(v_f0_in, np.float64).copy()
-    v_f0[v_f0 == 0] = 1000.0 / unv_frm_rate_ms
-    return fs / v_f0
+    """magphase.py:2210-2215 — single implementation in framerate.py."""
+    from .framerate import f0_to_shift_np
+    return f0_to_shift_np(v_f0_in, fs, unv_frm_rate_ms)
 
 
 def shift_to_pm(v_shift: np.ndarray) -> np.ndarray:
@@ -271,6 +270,12 @@ def synthesis_with_del_comp(m_sp: np.ndarray, m_ph: np.ndarray,
     fft_len = 2 * (h - 1)
     v_pm = np.cumsum(v_shift)
     out_len = int(v_pm[-1] + fft_len - (fft_len // 2 - v_shift[0]))
+
+    # the reference mirrors the phase via add_hermitian_half('phase'),
+    # which zeroes DC and Nyquist (libaudio.py:375-377) before the ifft
+    m_ph = m_ph.copy()
+    m_ph[:, 0] = 0.0
+    m_ph[:, -1] = 0.0
 
     F = bucket(nfrms, FRM_STEP)
     O = bucket_signal(out_len)

@@ -26,16 +26,20 @@ from ..core.spectral import rceps, MAGIC
 def _pf_defaults(fs: int, mag_dim: int, av_len_at_zero, av_len_at_nyq,
                  boost_at_zero, boost_at_nyq):
     """Sample-rate keyed defaults (magphase.py:2306-2340)."""
+    # explicit falsy values (e.g. boost 0.0) must be honoured -> is None
+    def d(x, default):
+        return default if x is None else x
+
     if fs == 48000:
-        av_len_at_zero = av_len_at_zero or int(round(11.0 * (mag_dim / 60.0)))
-        av_len_at_nyq = av_len_at_nyq or int(round(3.0 * (mag_dim / 60.0)))
-        boost_at_zero = boost_at_zero or 1.8
-        boost_at_nyq = boost_at_nyq or 2.0
+        av_len_at_zero = d(av_len_at_zero, int(round(11.0 * (mag_dim / 60.0))))
+        av_len_at_nyq = d(av_len_at_nyq, int(round(3.0 * (mag_dim / 60.0))))
+        boost_at_zero = d(boost_at_zero, 1.8)
+        boost_at_nyq = d(boost_at_nyq, 2.0)
     elif fs == 16000:
-        av_len_at_zero = av_len_at_zero or int(round(9.0 * (mag_dim / 60.0)))
-        av_len_at_nyq = av_len_at_nyq or int(round(12.0 * (mag_dim / 60.0)))
-        boost_at_zero = boost_at_zero or 2.0
-        boost_at_nyq = boost_at_nyq or 1.6
+        av_len_at_zero = d(av_len_at_zero, int(round(9.0 * (mag_dim / 60.0))))
+        av_len_at_nyq = d(av_len_at_nyq, int(round(12.0 * (mag_dim / 60.0))))
+        boost_at_zero = d(boost_at_zero, 2.0)
+        boost_at_nyq = d(boost_at_nyq, 1.6)
     else:
         if None in (av_len_at_zero, av_len_at_nyq, boost_at_zero, boost_at_nyq):
             raise ValueError(

@@ -27,7 +27,8 @@ from ..core.spectral import (build_mel_curve, crossfade_down_win_np, db,
                              protected_log, true_envelope,
                              build_min_phase_from_mag_spec)
 from ..core.windows import HANNING, VOI_NOISE
-from ..utils.padding import FRM_STEP, bucket, bucket_signal, pad_to
+from ..utils.padding import (FRM_STEP, bucket, bucket_signal,
+                             pad_rows, pad_to)
 from . import framerate, lossless
 from .compressed import get_num_full_mel_coeffs_from_num_phase_coeffs
 
@@ -169,12 +170,9 @@ def synthesis_from_compressed_type2(m_mag_mel_log, m_real_mel, m_imag_mel,
     O = bucket_signal(out_len)
 
     def padf(x):
-        x = jnp.asarray(x, jnp.float32) if not jnp.iscomplexobj(x) else x
-        pad = F - x.shape[0]
-        if pad > 0:
-            x = jnp.concatenate(
-                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
-        return x
+        if not jnp.iscomplexobj(x):
+            x = jnp.asarray(x, jnp.float32)
+        return pad_rows(x, F)
 
     m_mag_p = padf(m_mag)
     m_real_p = padf(m_real)
@@ -211,12 +209,7 @@ def _legacy_noise_synthesis(m_mag, m_real, m_imag, v_voi, v_shift, fs,
     O = bucket_signal(out_len)
 
     def padf(x):
-        x = jnp.asarray(x, jnp.float32)
-        pad = F - x.shape[0]
-        if pad > 0:
-            x = jnp.concatenate(
-                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
-        return x
+        return pad_rows(jnp.asarray(x, jnp.float32), F)
 
     buf = _type1_kernel(padf(m_mag), padf(m_real), padf(m_imag),
                         jnp.asarray(pad_to(

@@ -93,7 +93,14 @@ def test_analysis_feats_shapes_and_ranges(demo_wav, synthetic_pm):
 
 def test_synthesis_with_del_comp_reconstructs(demo_wav, synthetic_pm):
     """Legacy mag+phase OLA synthesis (magphase.py:371-419,
-    win_flat_to_len>=1 path) reconstructs the analysed signal interior."""
+    win_flat_to_len>=1 path).
+
+    The reference mirrors the phase with add_hermitian_half('phase'),
+    which ZEROES the DC/Nyquist phase (libaudio.py:375-377) — so its own
+    round trip flips the sign of negative-DC frames and is only
+    approximately reconstructive.  Assert (a) exact agreement with a
+    numpy re-statement of the reference semantics, and (b) the loose
+    interior reconstruction the reference achieves."""
     import numpy as np
     from magphase_tpu.vocoder import (analysis_with_del_comp_from_pm,
                                       synthesis_with_del_comp)
@@ -103,10 +110,30 @@ def test_synthesis_with_del_comp_reconstructs(demo_wav, synthetic_pm):
         sig, fs, pm, np.ones(len(pm)))
     m_ph = np.angle(real + 1j * imag)
     syn = synthesis_with_del_comp(mag, m_ph, shift)
+
+    # (a) reference semantics, restated in numpy
+    ph0 = m_ph.copy()
+    ph0[:, 0] = 0.0
+    ph0[:, -1] = 0.0
+    frames = np.fft.irfft((mag * np.exp(1j * ph0)).astype(np.complex64),
+                          n=2 * (mag.shape[1] - 1))
+    frames = np.roll(frames, mag.shape[1] - 1, axis=1).astype(np.float32)
+    fft_len = 2 * (mag.shape[1] - 1)
+    v_pm = np.cumsum(np.round(shift).astype(np.int64))
+    ref = np.zeros(int(v_pm[-1]) + fft_len)
+    for f in range(len(v_pm) - 1):          # reference adds frames 0..n-2
+        st = int(v_pm[f]) - fft_len // 2
+        for o in range(fft_len):
+            if 0 <= st + o < len(ref):
+                ref[st + o] += frames[f, o]
+    ref = ref[:len(syn)]
+    np.testing.assert_allclose(syn[:len(ref)], ref, atol=1e-4)
+
+    # (b) loose interior reconstruction (DC sign flips bound the error)
     a = int(pm[0]) + 500
-    b = min(len(syn), len(sig), int(pm[-2]))  # interior (last frame dropped)
+    b = min(len(syn), len(sig), int(pm[-2]))
     err = np.abs(syn[a:b] - sig[a:b])
-    assert np.percentile(err, 99) < 2 ** -12
+    assert np.percentile(err, 99) < 0.05
 
 
 def test_synthesis_with_del_comp_dead_branch_raises():
