@@ -57,38 +57,44 @@ def place_epochs_kernel(y_snap, f0, voiced, n_sig, n_frames=None, *,
 
     def body(i, carry):
         t, n_marks, done, marks, flags = carry
-        fr = jnp.clip((t / step).astype(jnp.int32), 0,
+        # t is an INT32 sample position: marks are integers, and float32
+        # positions lose sample precision past 2^24 (~350 s at 48 kHz)
+        fr = jnp.clip((t.astype(jnp.float32) / step).astype(jnp.int32), 0,
                       jnp.maximum(n_frames - 1, 0))
         is_voi = (voiced[fr] > 0) & (f0[fr] > 0)
         period = jnp.where(is_voi, fs / jnp.maximum(f0[fr], 1.0),
                            float(unv_step))
-
-        # voiced: snap to trough of y_snap in [t+0.7p, t+1.3p].
-        # dynamic_slice (contiguous) instead of gather — the gather form
-        # serialises element-at-a-time on TPU.
-        lo = jnp.clip(t + 0.7 * period, 0.0,
-                      float(S - _SNAP_WIN)).astype(jnp.int32)
+        # host arithmetic: int(t + x) == t + floor(x) for integer t, x>=0 —
+        # keeping t integral makes the window bounds exact at any length
+        p_lo = jnp.floor(0.7 * period).astype(jnp.int32)
+        p_hi = jnp.floor(1.3 * period).astype(jnp.int32)
+        lo = t + p_lo
         # window end clips to the REAL signal end (host walk semantics:
         # tracker.place_epochs hi = min(n-1, ...)), not the padded length —
         # otherwise tail marks snap into the zero padding and the walk
         # drops the final voiced mark the host version places
-        hi = jnp.floor(jnp.minimum((n_sig - 1).astype(jnp.float32),
-                                   t + 1.3 * period))
-        offs = jnp.arange(_SNAP_WIN)
-        vals = jax.lax.dynamic_slice(y_snap, (lo,), (_SNAP_WIN,))
-        # host slice y_snap[lo:hi] EXCLUDES hi (int truncation + half-open)
-        in_win = (lo + offs).astype(jnp.float32) < hi
-        vals = jnp.where(in_win, vals, jnp.inf)
-        nxt_voi = lo + jnp.argmin(vals)
+        hi = jnp.minimum(n_sig - 1, t + p_hi)
 
-        nxt_unv = t.astype(jnp.int32) + unv_step
+        # voiced: snap to trough of y_snap in [lo, hi) (half-open, as the
+        # host's y_snap[lo:hi] slice).  dynamic_slice (contiguous) instead
+        # of gather — the gather form serialises element-at-a-time on TPU.
+        # The slice start clamps to S-_SNAP_WIN for validity; the mask
+        # must therefore bound BOTH ends, or pre-window samples become
+        # eligible when the clamp engages near the bucket boundary.
+        lo_slice = jnp.clip(lo, 0, S - _SNAP_WIN)
+        offs = jnp.arange(_SNAP_WIN)
+        pos = lo_slice + offs
+        vals = jax.lax.dynamic_slice(y_snap, (lo_slice,), (_SNAP_WIN,))
+        in_win = (pos >= jnp.maximum(lo, 0)) & (pos < hi)
+        vals = jnp.where(in_win, vals, jnp.inf)
+        nxt_voi = lo_slice + jnp.argmin(vals).astype(jnp.int32)
+
+        nxt_unv = t + unv_step
         nxt = jnp.where(is_voi, nxt_voi, nxt_unv)
         # monotonicity guard (tracker.place_epochs)
         prev = jnp.where(n_marks > 0, marks[jnp.maximum(n_marks - 1, 0)],
                          -1)
-        min_adv = jnp.where(is_voi,
-                            jnp.maximum(1, (0.7 * period).astype(jnp.int32)),
-                            1)
+        min_adv = jnp.where(is_voi, jnp.maximum(1, p_lo), 1)
         nxt = jnp.where(nxt <= prev, prev + min_adv, nxt)
 
         ok = (~done) & (nxt < n_sig - 1) & (hi > lo + 1)
@@ -97,7 +103,7 @@ def place_epochs_kernel(y_snap, f0, voiced, n_sig, n_frames=None, *,
             is_voi.astype(jnp.float32)), flags)
         n_marks = jnp.where(ok, n_marks + 1, n_marks)
         done = done | ~ok
-        t = jnp.where(ok, nxt.astype(jnp.float32), t)
+        t = jnp.where(ok, nxt, t)
         return (t, n_marks, done, marks, flags)
 
     # while_loop, not fori_loop over m_max: capacity is sized for the
@@ -112,19 +118,11 @@ def place_epochs_kernel(y_snap, f0, voiced, n_sig, n_frames=None, *,
         i, carry = state
         return i + 1, body(i, carry)
 
-    init = (jnp.float32(0.0), jnp.int32(0), jnp.bool_(False),
+    init = (jnp.int32(0), jnp.int32(0), jnp.bool_(False),
             jnp.zeros(m_max, jnp.int32), jnp.zeros(m_max, jnp.float32))
     _, (_, n_marks, _, marks, flags) = jax.lax.while_loop(
         cond, wbody, (jnp.int32(0), init))
     return marks, flags, n_marks
-
-
-def place_epochs_batch_kernel(y_snap_b, f0_b, voiced_b, n_sig_b,
-                              n_frames_b, *, fs: int, m_max: int,
-                              frame_step: float = 0.0):
-    one = functools.partial(place_epochs_kernel, fs=fs, m_max=m_max,
-                            frame_step=frame_step)
-    return jax.vmap(one)(y_snap_b, f0_b, voiced_b, n_sig_b, n_frames_b)
 
 
 def track_and_place_one(sig, n_sig, n_frames, *, fs: int, n_pad: int,
@@ -139,7 +137,7 @@ def track_and_place_one(sig, n_sig, n_frames, *, fs: int, n_pad: int,
 
     fs_a, dec = tracker.analysis_rate(fs)
     frame_step = round(tracker.FRAME_STEP_S * fs_a) * dec
-    xa, y_snap = tracker._preprocess(sig, fs=fs, n_pad=n_pad)
+    xa, y_snap = tracker._preprocess(sig, fs=fs)
     nccf, valid = tracker._nccf(xa, n_frames, n_frames_max=n_frames_max,
                                 fs_a=fs_a)
     vals, lags = tracker._candidates(nccf)

@@ -95,8 +95,8 @@ def _fft_conv_same(x: jnp.ndarray, h: np.ndarray) -> jnp.ndarray:
     return y[off:off + n]
 
 
-@functools.partial(jax.jit, static_argnames=("fs", "n_pad"))
-def _preprocess(sig: jnp.ndarray, *, fs: int, n_pad: int):
+@functools.partial(jax.jit, static_argnames=("fs",))
+def _preprocess(sig: jnp.ndarray, *, fs: int):
     """High-pass 80 Hz, decimate to FS_ANALYSIS; also a low-passed (800 Hz)
     copy at the original rate for epoch snapping."""
     x = sig - jnp.mean(sig)
@@ -193,13 +193,18 @@ def _viterbi(vals: jnp.ndarray, lags: jnp.ndarray, valid: jnp.ndarray,
 
     def step(carry, inp):
         delta_prev, ll_prev = carry
-        loc, ll = inp
+        loc, ll, v = inp
         # transition matrix prev(i) -> cur(j)
         jump = jnp.abs(ll_prev[:K, None] - ll[None, :K])     # (i,j)
         tv = TRANS_W * jump                                   # v->v
         trans = jnp.full((K + 1, K + 1), VUV_COST)
         trans = trans.at[:K, :K].set(tv)
         trans = trans.at[K, K].set(0.0)
+        # transitions INTO padding are free: otherwise a voiced path at
+        # the last real frame pays VUV_COST into the forced-unvoiced
+        # padding, so voicing decisions would depend on how much padding
+        # the batch bucket happens to add
+        trans = jnp.where(v, trans, 0.0)
         tot = delta_prev[:, None] + trans                     # (i,j)
         best_i = jnp.argmin(tot, axis=0)
         delta = jnp.min(tot, axis=0) + loc
@@ -209,7 +214,7 @@ def _viterbi(vals: jnp.ndarray, lags: jnp.ndarray, valid: jnp.ndarray,
     ll_all = jnp.concatenate([log_lag, jnp.zeros((T, 1))], axis=1)
     init = (local[0], ll_all[0])
     (_, _), (back, deltas) = jax.lax.scan(
-        step, init, (local[1:], ll_all[1:]))
+        step, init, (local[1:], ll_all[1:], valid[1:]))
 
     last_state = jnp.argmin(deltas[-1])
 
@@ -234,7 +239,7 @@ def track_f0(v_sig: np.ndarray, fs: int):
     n_pad = bucket_signal(sig.shape[0])
     sig_p = jnp.concatenate(
         [sig, jnp.zeros(n_pad - sig.shape[0], sig.dtype)])
-    xa, y_snap = _preprocess(sig_p, fs=fs, n_pad=n_pad)
+    xa, y_snap = _preprocess(sig_p, fs=fs)
 
     fs_a, dec = analysis_rate(fs)
     step = int(round(FRAME_STEP_S * fs_a))
@@ -250,7 +255,6 @@ def track_f0(v_sig: np.ndarray, fs: int):
     states = _viterbi(vals, lags, valid, fs_a=fs_a)
 
     states = np.asarray(jax.device_get(states))[:n_frames]
-    vals_h = np.asarray(jax.device_get(vals))[:n_frames]
     lags_h = np.asarray(jax.device_get(lags))[:n_frames]
 
     voiced = states < N_CAND

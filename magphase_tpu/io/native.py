@@ -77,6 +77,15 @@ def read_wav(path: str, max_seconds: float = 120.0):
                         ctypes.byref(fs))
     if n < 0:
         raise IOError(f"native wav read failed: {path}")
+    if n == max_len:
+        # the C side clamps to the buffer (min(total, max_len)); never
+        # return a silently truncated signal — check the real length
+        from .wav import read_wav_info
+        total, _ = read_wav_info(path)
+        if total > max_len:
+            raise ValueError(
+                f"{path}: {total} samples exceeds the {max_len}-sample "
+                f"native buffer; raise max_seconds or use io.wav.read_wav")
     return out[:n].copy(), int(fs.value)
 
 

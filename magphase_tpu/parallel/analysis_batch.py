@@ -31,7 +31,7 @@ def _track_batch_kernel(sigs, n_frames, *, fs: int, n_pad: int,
     """vmapped preprocess + NCCF + candidates + Viterbi."""
     def one(sig, nf):
         fs_a = tracker.analysis_rate(fs)[0]
-        xa, y_snap = tracker._preprocess(sig, fs=fs, n_pad=n_pad)
+        xa, y_snap = tracker._preprocess(sig, fs=fs)
         nccf, valid = tracker._nccf(xa, nf, n_frames_max=n_frames_max,
                                     fs_a=fs_a)
         vals, lags = tracker._candidates(nccf)
