@@ -185,9 +185,6 @@ def pad_signal(sig_batch: np.ndarray, fft_len: int) -> np.ndarray:
     return out
 
 
-SIG_FRONT_PAD = None  # computed as fft_len + 128 (see pad_signal)
-
-
 # ---------------------------------------------------------------------------
 # OLA kernel
 
