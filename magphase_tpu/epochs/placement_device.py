@@ -125,7 +125,7 @@ def place_epochs_kernel(y_snap, f0, voiced, n_sig, n_frames=None, *,
     return marks, flags, n_marks
 
 
-def track_and_place_one(sig, n_sig, n_frames, *, fs: int, n_pad: int,
+def track_and_place_one(sig, n_sig, n_frames, *, fs: int,
                         n_frames_max: int, m_max: int):
     """One utterance, fully on device: preprocess -> NCCF -> Viterbi ->
     epoch walk.  Returns (marks[m_max] samples, flags[m_max], n_marks).

@@ -22,12 +22,11 @@ from ..utils.padding import (FRM_STEP, MAX_FRAME_ELEMS, bucket,
                              bucket_frames, bucket_signal, pad_to)
 from ..vocoder.compressed import (
     _format_kernel, get_num_full_mel_coeffs_from_num_phase_coeffs)
-from .mesh import capped_batch_step, shard_batch
+from .mesh import budget_batch_cap, capped_batch_step, shard_batch
 
 
-@functools.partial(jax.jit, static_argnames=("fs", "n_pad", "n_frames_max"))
-def _track_batch_kernel(sigs, n_frames, *, fs: int, n_pad: int,
-                        n_frames_max: int):
+@functools.partial(jax.jit, static_argnames=("fs", "n_frames_max"))
+def _track_batch_kernel(sigs, n_frames, *, fs: int, n_frames_max: int):
     """vmapped preprocess + NCCF + candidates + Viterbi."""
     def one(sig, nf):
         fs_a = tracker.analysis_rate(fs)[0]
@@ -57,7 +56,7 @@ def track_f0_batch(signals: list, fs: int):
     Tmax = bucket(int(n_frames.max()), 128)
 
     states, vals, lags, y_snap = _track_batch_kernel(
-        jnp.asarray(sigs), jnp.asarray(n_frames), fs=fs, n_pad=S,
+        jnp.asarray(sigs), jnp.asarray(n_frames), fs=fs,
         n_frames_max=Tmax)
     states = np.asarray(jax.device_get(states))
     lags = np.asarray(jax.device_get(lags))
@@ -100,9 +99,7 @@ def _budget_geometry(signals: list, fs: int, fft_len: int, mesh=None):
     # total batch scales with the mesh size
     budget = MAX_FRAME_ELEMS * (mesh.size if mesh is not None else 1)
     max_b = max(1, int(budget // (m_max * fft_len)))
-    if mesh is not None:
-        max_b = max(mesh.size, (max_b // mesh.size) * mesh.size)
-    return S, m_max, max_b
+    return S, m_max, budget_batch_cap(mesh, max_b)
 
 
 def _split_for_budget(signals: list, fs: int, fft_len: int, mesh=None):
@@ -119,9 +116,7 @@ def _epochs_budget(epochs, fft_len: int, mesh=None) -> int:
     F_est = bucket(max(len(p) for p, _ in epochs), FRM_STEP)
     budget = MAX_FRAME_ELEMS * (mesh.size if mesh is not None else 1)
     max_b = max(1, int(budget // (F_est * fft_len)))
-    if mesh is not None:
-        max_b = max(mesh.size, (max_b // mesh.size) * mesh.size)
-    return max_b
+    return budget_batch_cap(mesh, max_b)
 
 
 def _device_signal_batch(signals: list, fs: int, mesh=None,
@@ -165,10 +160,10 @@ def _trim_frames(arrs, *, n: int):
     return tuple(a[:, :n] for a in arrs)
 
 
-@functools.partial(jax.jit, static_argnames=("fs", "n_pad", "n_frames_max",
+@functools.partial(jax.jit, static_argnames=("fs", "n_frames_max",
                                              "m_max", "fft_len"))
 def _fused_track_lossless_kernel(sigs, n_sigs, n_frames, *, fs: int,
-                                 n_pad: int, n_frames_max: int, m_max: int,
+                                 n_frames_max: int, m_max: int,
                                  fft_len: int):
     """Tracking + epoch placement + lossless analysis in ONE device program.
 
@@ -180,7 +175,7 @@ def _fused_track_lossless_kernel(sigs, n_sigs, n_frames, *, fs: int,
     from ..vocoder.lossless import analysis_core_batch
 
     track_one = functools.partial(
-        track_and_place_one, fs=fs, n_pad=n_pad,
+        track_and_place_one, fs=fs,
         n_frames_max=n_frames_max, m_max=m_max)
     marks, flags, n_marks = jax.vmap(track_one)(sigs, n_sigs, n_frames)
     mag, real, imag, _f0, shift = analysis_core_batch(
@@ -223,14 +218,14 @@ def _const_resample_batch(mag, real, imag, f0, pm, nfrms, *, crs: float,
     return jax.vmap(one)(mag, real, imag, f0, pm, nfrms)
 
 
-@functools.partial(jax.jit, static_argnames=("fs", "n_pad", "n_frames_max",
+@functools.partial(jax.jit, static_argnames=("fs", "n_frames_max",
                                              "m_max"))
-def _track_place_kernel(sigs, n_sigs, n_frames, *, fs: int, n_pad: int,
+def _track_place_kernel(sigs, n_sigs, n_frames, *, fs: int,
                         n_frames_max: int, m_max: int):
     """Phase 1 of the two-phase production path: tracking + placement.
     Returns (marks, flags, n_marks) — stays on device."""
     track_one = functools.partial(
-        track_and_place_one, fs=fs, n_pad=n_pad,
+        track_and_place_one, fs=fs,
         n_frames_max=n_frames_max, m_max=m_max)
     return jax.vmap(track_one)(sigs, n_sigs, n_frames)
 
@@ -300,7 +295,7 @@ def analysis_lossless_batch(signals: list, fs: int,
                 group, fs, mesh, fft_len=fft_len)
             mag, real, imag, shift, flags, n_marks = \
                 _fused_track_lossless_kernel(
-                    *dev, fs=fs, n_pad=S, n_frames_max=Tmax, m_max=m_max,
+                    *dev, fs=fs, n_frames_max=Tmax, m_max=m_max,
                     fft_len=fft_len)
             n_marks = np.asarray(jax.device_get(n_marks))
             Fa = min(m_max, bucket(int(n_marks.max()), FRM_STEP))
@@ -531,7 +526,7 @@ def analysis_compressed_batch_async(signals: list, fs: int,
                   if b_const_rate else 0)
         # phase 1 (async): tracking + placement at the worst-case capacity
         marks, flags, n_marks = _track_place_kernel(
-            *dev, fs=fs, n_pad=S, n_frames_max=Tmax, m_max=m_max)
+            *dev, fs=fs, n_frames_max=Tmax, m_max=m_max)
 
         def start_phase2():
             # the only inter-phase host transfer: (B,) mark counts

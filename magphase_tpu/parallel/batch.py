@@ -31,7 +31,7 @@ from ..vocoder.compressed import (
     _unwarp_kernel, get_num_full_mel_coeffs_from_num_phase_coeffs,
     synthesis_core_batch)
 from ..vocoder.postfilter import post_filter, post_filter_merlin
-from .mesh import capped_batch_step, shard_batch
+from .mesh import budget_batch_cap, capped_batch_step, shard_batch
 
 
 @functools.partial(
@@ -109,9 +109,7 @@ def synthesis_from_compressed_batch(utts, fs: int,
     F_est = bucket(max(np.atleast_1d(np.squeeze(u[3])).shape[0]
                        for u in utts), FRM_STEP)
     budget = MAX_FRAME_ELEMS * (mesh.size if mesh is not None else 1)
-    max_b = max(1, int(budget // (F_est * fft_len)))
-    if mesh is not None:
-        max_b = max(mesh.size, (max_b // mesh.size) * mesh.size)
+    max_b = budget_batch_cap(mesh, max(1, int(budget // (F_est * fft_len))))
     if len(utts) > max_b:
         out, rows, lens_all = [], [], []
         for i in range(0, len(utts), max_b):

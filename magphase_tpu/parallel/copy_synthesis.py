@@ -28,15 +28,15 @@ from ..vocoder.lossless import _analysis_kernel, _synthesis_kernel
 from .mesh import capped_batch_step, shard_batch
 
 
-@functools.partial(jax.jit, static_argnames=("fs", "n_pad", "n_frames_max",
+@functools.partial(jax.jit, static_argnames=("fs", "n_frames_max",
                                              "m_max", "fft_len",
                                              "out_len_max"))
-def _copy_synthesis_kernel(sigs, n_sigs, n_frames, *, fs: int, n_pad: int,
+def _copy_synthesis_kernel(sigs, n_sigs, n_frames, *, fs: int,
                            n_frames_max: int, m_max: int, fft_len: int,
                            out_len_max: int):
     """(B, S) signals -> (B, out_len_max) resynthesised signals + stats."""
     track_one = functools.partial(
-        track_and_place_one, fs=fs, n_pad=n_pad,
+        track_and_place_one, fs=fs,
         n_frames_max=n_frames_max, m_max=m_max)
     marks, flags, n_marks = jax.vmap(track_one)(sigs, n_sigs, n_frames)
 
@@ -92,7 +92,7 @@ def copy_synthesis_batch(signals: list, fs: int, fft_len: int = 4096,
             mesh, sigs_d, n_sigs_d, n_frames_d)
 
     bufs, n_marks = _copy_synthesis_kernel(
-        sigs_d, n_sigs_d, n_frames_d, fs=fs, n_pad=S, n_frames_max=Tmax,
+        sigs_d, n_sigs_d, n_frames_d, fs=fs, n_frames_max=Tmax,
         m_max=m_max, fft_len=fft_len, out_len_max=out_len_max)
 
     if not block_result:

@@ -57,6 +57,23 @@ def batch_step(mesh: Mesh | None, base: int = 8) -> int:
     return math.lcm(base, mesh.size)
 
 
+def budget_batch_cap(mesh: Mesh | None, max_b: int, base: int = 8) -> int:
+    """Round an HBM-derived batch cap DOWN so batch-axis bucketing never
+    exceeds it: bucket(n <= cap, capped_batch_step(mesh, cap)) <= cap.
+
+    Caps at or above the batch step become multiples of the step (a raw
+    cap of e.g. 9 would otherwise bucket a 9-utterance group up to 16 —
+    1.78x the HBM budget); smaller caps are kept, rounded to the mesh
+    size so one program still shards evenly (a cap below the mesh size
+    is forced up to it — sharding needs at least one row per device)."""
+    step = batch_step(mesh, base)
+    if max_b >= step:
+        return (max_b // step) * step
+    if mesh is not None:
+        return max(mesh.size, (max_b // mesh.size) * mesh.size)
+    return max(1, max_b)
+
+
 def partition_tokens(tokens, process_index: int | None = None,
                      process_count: int | None = None):
     """This host's share of a corpus token list (round-robin).
@@ -82,7 +99,9 @@ def maybe_initialize_distributed() -> None:
     import os
     if "JAX_COORDINATOR_ADDRESS" not in os.environ:
         return
-    try:
-        jax.distributed.initialize()
-    except RuntimeError:
-        pass   # already initialised
+    if jax.distributed.is_initialized():
+        return
+    # real init failures (unreachable/mistyped coordinator) must surface:
+    # silently degrading to process_count=1 would make every host process
+    # the FULL corpus and race on one shared manifest
+    jax.distributed.initialize()

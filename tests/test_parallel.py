@@ -140,3 +140,22 @@ def test_partition_tokens_round_robin():
     assert max(len(s) for s in shards) - min(len(s) for s in shards) <= 1
     # single process: identity
     assert partition_tokens(toks, 0, 1) == toks
+
+
+def test_budget_batch_cap_invariant():
+    """bucket(n <= cap, capped_batch_step(mesh, cap)) must never exceed
+    the HBM-derived cap (round-up past the budget risks device OOM)."""
+    from magphase_tpu.parallel.mesh import (budget_batch_cap,
+                                            capped_batch_step)
+    from magphase_tpu.utils.padding import bucket
+
+    mesh = data_mesh()
+    for m in (None, mesh):
+        size = 1 if m is None else m.size
+        for raw in (1, 2, 5, 7, 8, 9, 12, 15, 16, 17, 33, 100):
+            cap = budget_batch_cap(m, raw)
+            assert cap <= max(raw, size)     # never above budget (except
+            # the mesh-size floor: sharding needs a row per device)
+            assert cap % size == 0           # even sharding
+            for n in range(1, cap + 1):
+                assert bucket(n, capped_batch_step(m, cap)) <= cap
