@@ -74,6 +74,36 @@ def sp_mel_warp_fbank(m_mag: jnp.ndarray, n_melbands: int,
     return jnp.exp(apply_fbank(protected_log(m_mag), alpha, n_melbands))
 
 
+def _td_spans_2d(n_melbands: int, max_span: int = 5) -> np.ndarray:
+    """Per-band temporal smoothing spans (libaudio.py:798-801): the warp
+    curve at alpha=-0.3 scaled to [1, max_span], forced odd via
+    2*ceil(v/2)-1."""
+    v = 1.0 + mel_curve_np(-0.3, n_melbands, amp=float(max_span - 1.0))
+    return (2 * np.ceil(v / 2.0) - 1).astype(int)
+
+
+def sp_mel_warp_fbank_2d(m_mag: jnp.ndarray, n_melbands: int,
+                         alpha: float = 0.77,
+                         max_span: int = 5) -> jnp.ndarray:
+    """libaudio.py:771-813: fbank warp + band-dependent temporal smoothing.
+
+    Each mel band's log trajectory is smoothed along the frame axis with
+    hanning(span+2), span growing with band index (an inverted warp
+    curve) — higher bands get longer temporal averaging.  Bands sharing a
+    span are smoothed in one batched convolution (<=3 distinct spans for
+    the default max_span=5 instead of a per-band loop)."""
+    from .misc_dsp import smooth_by_conv
+
+    m_log = apply_fbank(protected_log(m_mag), alpha, n_melbands)
+    spans = _td_spans_2d(n_melbands, max_span)
+    out = m_log
+    for span in np.unique(spans):
+        sel = np.where(spans == span)[0]
+        sm = smooth_by_conv(m_log[:, sel], np.hanning(int(span) + 2))
+        out = out.at[:, sel].set(sm)
+    return jnp.exp(out)
+
+
 def unwarp_from_fbank(m_mag_mel: jnp.ndarray, alpha: float, nbins: int,
                       interp_kind: str = "quadratic") -> jnp.ndarray:
     """libaudio.py:848-874 as a matmul."""

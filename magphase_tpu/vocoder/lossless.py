@@ -157,20 +157,60 @@ def _synthesis_kernel(m_mag, m_real, m_imag, pm, nfrms, *, fft_len: int,
 # ---------------------------------------------------------------------------
 # host-side API (reference-compatible signatures, numpy in/out)
 
+def densify_pitch_marks(v_pm_smpls: np.ndarray,
+                        nwin_per_pitch_period: float,
+                        v_voi: np.ndarray | None = None):
+    """Intermediate-epoch densification (magphase.py:280-288).
+
+    For nwin_per_pitch_period >= 1, each pitch period [pm[i], pm[i+1]) is
+    subdivided into n_eps = int(nwin * 2) equal float steps; the new mark
+    train is [pm0, pm0+s0, ..., pm0+(n_eps-1)s0, pm1, ...] — the final
+    original mark is NOT emitted (the reference flattens the (n_eps, n-1)
+    step matrix column-major and never appends pm[-1]).  Positions stay
+    float; rounding happens in the windowing (magphase.py:78).
+
+    Returns the densified marks, plus voicing repeated per sub-mark (each
+    sub-window anchored in period i inherits voi[i]) when ``v_voi`` given.
+    """
+    v_pm = np.asarray(v_pm_smpls, np.float64)
+    if nwin_per_pitch_period == 0.5:        # original design
+        return (v_pm, None if v_voi is None else np.asarray(v_voi))
+    if nwin_per_pitch_period < 1.0:
+        raise ValueError("nwin_per_pitch_period must be 0.5 or >= 1.0 "
+                         "(magphase.py:277-288)")
+    n_eps = int(nwin_per_pitch_period * 2)
+    v_step = np.diff(v_pm) / float(n_eps)
+    m_step = np.tile(v_step, (n_eps, 1))
+    m_step = m_step * np.arange(n_eps)[:, None]
+    m_step = m_step + v_pm[:-1]
+    pm_defi = m_step.flatten(order="F")
+    if v_voi is None:
+        return pm_defi, None
+    voi_defi = np.repeat(np.asarray(v_voi)[:-1], n_eps)
+    return pm_defi, voi_defi
+
+
 def analysis_with_del_comp_from_pm(v_in_sig: np.ndarray, fs: int,
                                    v_pm_smpls: np.ndarray,
                                    v_voi: np.ndarray,
-                                   fft_len: int | None = None):
+                                   fft_len: int | None = None,
+                                   nwin_per_pitch_period: float = 0.5):
     """Run the analysis kernel on one utterance.
 
     v_pm_smpls: float pitch-mark positions in samples (rounded half-to-even
     here, as lu.round_to_int does at magphase.py:78).
+    nwin_per_pitch_period: 0.5 = one window per two periods (the original
+    design); >= 1 subdivides each period into int(nwin*2) sub-windows
+    (magphase.py:280-288) before the same kernel runs.
     Returns (m_mag, m_real, m_imag, v_f0, v_shift) as numpy, nfrms rows.
     """
     cfg = MagPhaseConfig(fs=fs) if fft_len is None else \
         MagPhaseConfig(fs=fs, fft_len=fft_len)
     fft_len = cfg.fft_len
 
+    if nwin_per_pitch_period != 0.5:
+        v_pm_smpls, v_voi = densify_pitch_marks(
+            v_pm_smpls, nwin_per_pitch_period, v_voi)
     pm = np.asarray(np.round(v_pm_smpls), dtype=np.int64)
     nfrms = pm.shape[0]
     n_sig = v_in_sig.shape[0]

@@ -143,3 +143,48 @@ def test_synthesis_with_del_comp_dead_branch_raises():
     with pytest.raises(NotImplementedError):
         synthesis_with_del_comp(np.ones((4, 9)), np.zeros((4, 9)),
                                 np.full(4, 4), win_flat_to_len=0.3)
+
+
+def test_densify_pitch_marks_matches_numpy_oracle():
+    """Numpy re-statement of the nwin_per_pitch_period>=1 branch
+    (magphase.py:280-288): tile/step/flatten('F'), last mark dropped."""
+    from magphase_tpu.vocoder.lossless import densify_pitch_marks
+
+    rng = np.random.RandomState(0)
+    pm = np.cumsum(rng.randint(80, 300, size=20)).astype(np.float64)
+    for nwin in (1.0, 1.5, 2.0):
+        n_eps = int(nwin * 2)
+        diff = np.diff(pm)
+        step = diff / float(n_eps)
+        m = np.tile(step, (n_eps, 1))
+        m = m * np.arange(n_eps)[:, None]
+        m = m + pm[:-1]
+        want = m.flatten(order="F")
+
+        got, voi = densify_pitch_marks(pm, nwin, np.ones(len(pm)))
+        np.testing.assert_allclose(got, want)
+        assert len(got) == (len(pm) - 1) * n_eps
+        assert voi.shape == got.shape
+
+    # 0.5 is a pass-through
+    got, _ = densify_pitch_marks(pm, 0.5, None)
+    np.testing.assert_array_equal(got, pm)
+
+
+def test_analysis_nwin1_equals_predensified(demo_wav, synthetic_pm):
+    """analysis(nwin=1) must equal analysis(0.5) over the densified train."""
+    from magphase_tpu.vocoder.lossless import densify_pitch_marks
+
+    sig, fs = demo_wav
+    pm, _ = synthetic_pm
+    pm = pm[pm < len(sig) - 2000][:40].astype(np.float64)
+    voi = np.ones(len(pm))
+
+    dense_pm, dense_voi = densify_pitch_marks(pm, 1.0, voi)
+    want = analysis_with_del_comp_from_pm(sig, fs, dense_pm, dense_voi,
+                                          fft_len=1024)
+    got = analysis_with_del_comp_from_pm(sig, fs, pm, voi, fft_len=1024,
+                                         nwin_per_pitch_period=1.0)
+    assert got[0].shape[0] == (len(pm) - 1) * 2
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)

@@ -101,3 +101,53 @@ def test_get_ap_mask_shape():
     assert m.shape == (2, 2049)
     assert m[0, 0] == 0.0 and m[1, 0] == 1.0
     assert np.all(m[:, -1] == 1.0)
+
+
+def test_sp_mel_warp_fbank_2d_matches_numpy_oracle():
+    """Numpy re-statement of libaudio.py:771-813: fbank warp of the log
+    magnitude, then per-band hanning(span+2) smoothing along frames with
+    boundary extension (smooth_by_conv, libaudio.py:878-918)."""
+    from scipy import interpolate
+    from magphase_tpu.core import melcep
+    from magphase_tpu.core.spectral import mel_curve_np
+
+    rng = np.random.RandomState(5)
+    mc = rng.randn(30, 15) * 0.5 ** np.arange(15)
+    m_mag = np.exp(np.asarray(melcep.mcep_to_sp_cosmat(
+        jnp.asarray(mc), 513, alpha=0.5, out_type="log")))
+    nbands = 24
+
+    got = np.asarray(fbank.sp_mel_warp_fbank_2d(
+        jnp.asarray(m_mag), nbands, alpha=0.77))
+
+    # oracle
+    nbins = m_mag.shape[1]
+    curve = mel_curve_np(0.77, nbins)
+    cntrs_mel = np.linspace(0, curve[-1], nbands)
+    f = interpolate.interp1d(curve, np.arange(nbins), kind="quadratic")
+    cntrs = np.round(f(cntrs_mel)).astype(int)
+    B = np.zeros((nbins, nbands))
+    ext = np.r_[cntrs[0], cntrs, cntrs[-1]]
+    from magphase_tpu.core.windows import gen_non_symmetric_win_np
+    for b in range(1, nbands + 1):
+        w = gen_non_symmetric_win_np(ext[b] - ext[b - 1],
+                                     ext[b + 1] - ext[b],
+                                     np.hanning, b_norm=True)
+        B[ext[b - 1]:ext[b - 1] + len(w), b - 1] = w
+    m_log_mel = np.log(m_mag) @ B
+
+    max_span = 5
+    spans = 1 + mel_curve_np(-0.3, nbands, amp=max_span - 1.0)
+    spans = (2 * np.ceil(spans / 2.0) - 1).astype(int)
+    want = np.zeros_like(m_log_mel)
+    n = m_log_mel.shape[0]
+    for b in range(nbands):
+        w = np.hanning(spans[b] + 2)
+        half = (len(w) - 1) // 2
+        col = m_log_mel[:, b]
+        col_ext = np.r_[np.full(half, col[0]), col, np.full(half, col[-1])]
+        want[:, b] = np.convolve(w / w.sum(), col_ext, mode="valid")
+    want = np.exp(want)
+
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-7)
+    assert len(np.unique(spans)) >= 2   # the smoothing really varies
