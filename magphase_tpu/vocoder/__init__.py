@@ -12,6 +12,7 @@ from .variants import (analysis_compressed_type1, analysis_compressed_type2,
                        analysis_lossless_type2, compute_imag_from_real,
                        phase_uncompress_type1, phase_uncompress_fbank,
                        synthesis_from_compressed_type1,
+                       synthesis_from_compressed_type1_old_with_griffin_lim,
                        synthesis_from_compressed_type2)
 from .phase_comp import (analysis_compressed_type1_with_phase_comp,
                          format_for_modelling_phase_comp,
@@ -24,6 +25,7 @@ __all__ = [
     "analysis_lossless_type2", "compute_imag_from_real",
     "phase_uncompress_type1", "phase_uncompress_fbank",
     "synthesis_from_compressed_type1", "synthesis_from_compressed_type2",
+    "synthesis_from_compressed_type1_old_with_griffin_lim",
     "analysis_compressed_type1_with_phase_comp",
     "format_for_modelling_phase_comp",
     "synthesis_from_compressed_type1_with_phase_comp", "griffin_lim",

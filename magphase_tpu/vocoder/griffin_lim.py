@@ -19,11 +19,24 @@ from ..core.windows import HANNING
 from ..utils.padding import FRM_STEP, bucket, bucket_signal, pad_to
 
 
+def _herm_phase(m_phase_half):
+    """add_hermitian_half(…, 'phase') (libaudio.py:375-378): zero DC and
+    Nyquist, odd mirror of the interior bins."""
+    zeroed = m_phase_half.at[:, 0].set(0).at[:, -1].set(0)
+    return jnp.concatenate([zeroed, -zeroed[:, -2:0:-1]], axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("fft_len", "niters",
                                              "out_len_max", "phase_init"))
-def _griffin_lim_kernel(m_mag_half, pm, nfrms, key, *, fft_len: int,
-                        niters: int, out_len_max: int, phase_init: str):
-    """Returns (signal buffer, half phase)."""
+def _griffin_lim_kernel(m_mag_half, pm, nfrms, key, m_phase0, *,
+                        fft_len: int, niters: int, out_len_max: int,
+                        phase_init: str):
+    """Returns (signal buffer, half phase).
+
+    m_phase0: (F, h) half phase matrix, used only when phase_init ==
+    'given' (the reference's ndarray init, magphase.py:3348-3349);
+    zeros otherwise.
+    """
     F = m_mag_half.shape[0]
     h = fft_len // 2 + 1
     n_sig_max = out_len_max
@@ -39,8 +52,9 @@ def _griffin_lim_kernel(m_mag_half, pm, nfrms, key, *, fft_len: int,
         m_phase = jnp.angle(jnp.fft.fft(imp))
     elif phase_init == "min_phase":
         mp = jnp.angle(build_min_phase_from_mag_spec(m_mag_half))
-        zeroed = mp.at[:, 0].set(0).at[:, -1].set(0)
-        m_phase = jnp.concatenate([zeroed, -zeroed[:, -2:0:-1]], axis=1)
+        m_phase = _herm_phase(mp)
+    elif phase_init == "given":
+        m_phase = _herm_phase(m_phase0.astype(m_mag_half.dtype))
     else:
         raise ValueError(phase_init)
 
@@ -73,9 +87,13 @@ def _griffin_lim_kernel(m_mag_half, pm, nfrms, key, *, fft_len: int,
     return v_sig, m_phase[:, :h]
 
 
-def griffin_lim(m_mag, v_shift, phase_init: str = "random",
+def griffin_lim(m_mag, v_shift, phase_init="random",
                 niters: int = 30, key=None):
-    """magphase.py:3320-3373.  Returns (v_sig, half phase matrix)."""
+    """magphase.py:3320-3373.  Returns (v_sig, half phase matrix).
+
+    phase_init: 'random' | 'linear' | 'min_phase' | an (nfrms, h) ndarray
+    of initial phase values (magphase.py:3348-3349).
+    """
     if key is None:
         key = jax.random.PRNGKey(0)
     m_mag = np.asarray(m_mag, np.float64)
@@ -87,10 +105,20 @@ def griffin_lim(m_mag, v_shift, phase_init: str = "random",
 
     F = bucket(nfrms, FRM_STEP)
     O = bucket_signal(out_len)
+
+    if isinstance(phase_init, np.ndarray) or hasattr(phase_init, "ndim"):
+        m_phase0 = pad_to(np.asarray(phase_init, np.float32), F)
+        if m_phase0.shape != (F, h):
+            raise ValueError("phase_init matrix must be (nfrms, h)")
+        init_mode = "given"
+    else:
+        m_phase0 = np.zeros((F, h), np.float32)
+        init_mode = str(phase_init)
+
     v_sig, m_phase = _griffin_lim_kernel(
         jnp.asarray(pad_to(m_mag.astype(np.float32), F)),
         jnp.asarray(pad_to(v_pm.astype(np.int32), F)),
-        jnp.int32(nfrms), key, fft_len=fft_len, niters=niters,
-        out_len_max=O, phase_init=phase_init)
+        jnp.int32(nfrms), key, jnp.asarray(m_phase0), fft_len=fft_len,
+        niters=niters, out_len_max=O, phase_init=init_mode)
     return (np.asarray(jax.device_get(v_sig)[:out_len], np.float64),
             np.asarray(jax.device_get(m_phase)[:nfrms], np.float64))

@@ -357,6 +357,237 @@ def _type2_kernel(m_mag, m_real, m_imag, v_voi, pm, shifts, nfrms, ns_len,
                                       out_len_max)[0]
 
 
+@functools.partial(
+    jax.jit, static_argnames=("fs", "fft_len", "hf_slope_coeff",
+                              "b_voi_ap_win", "per_phase_type",
+                              "ns_len_max"))
+def _type1_old_masks_kernel(m_mag, m_real, m_imag, v_voi, pm, nfrms, ns_len,
+                            key, *, fs, fft_len, hf_slope_coeff,
+                            b_voi_ap_win, per_phase_type, ns_len_max):
+    """Det/AP complex spectra of the OLD AP-mask formulation
+    (magphase.py:675-735): one global RMS noise gain (not split
+    voiced/unvoiced as the live path does), AP mask = mag/rms with a
+    voiced zeros->mask crossfade and an unvoiced HF slope; det mask = mag
+    with a voiced mag->zeros crossfade.  Returns (det, ap, det_mask)."""
+    h = fft_len // 2 + 1
+    dtype = m_mag.dtype
+    F = pm.shape[0]
+    valid = jnp.arange(F) < nfrms
+    voi = v_voi.astype(bool) & valid
+    unv = (~v_voi.astype(bool)) & valid
+
+    crsf_cf, crsf_bw = define_crossfade_params(fs)
+    w_down = jnp.asarray(crossfade_down_win_np(crsf_cf, crsf_bw, fs, h),
+                         dtype)
+
+    v_ns = jax.random.uniform(key, (ns_len_max,), dtype=dtype, minval=-1.0,
+                              maxval=1.0)
+    m_frm_ns, _, _, _ = framing.pitch_sync_frames_batch(
+        v_ns[None], pm[None], nfrms[None], ns_len[None], fft_len,
+        win_family=(VOI_NOISE if b_voi_ap_win else HANNING),
+        voiced=voi[None], win_family_unvoiced=HANNING)
+    m_ns = jnp.fft.rfft(m_frm_ns[0])
+
+    # one global gain: rms_noise = sqrt(mean |noise|^2) over ALL frames
+    # (magphase.py:698) — the later revisions normalise voiced/unvoiced
+    # separately in the log domain
+    m_ns_mag = jnp.abs(m_ns)
+    cnt = jnp.maximum(jnp.sum(valid), 1) * h
+    rms_noise = jnp.sqrt(
+        jnp.sum(jnp.where(valid[:, None], m_ns_mag ** 2, 0.0)) / cnt)
+
+    m_ap_mask = m_mag / rms_noise
+    m_ap_mask = jnp.where(voi[:, None], m_ap_mask * (1.0 - w_down)[None, :],
+                          m_ap_mask)
+    v_slope = jnp.asarray(np.linspace(1.0, hf_slope_coeff, h), dtype)
+    m_ap_mask = jnp.where(unv[:, None], m_ap_mask * v_slope[None, :],
+                          m_ap_mask)
+    m_ap_c = m_ap_mask * m_ns
+    m_ap_c = jnp.where(m_ap_mask == 0.0, 0.0 + 0.0j, m_ap_c)   # 710
+
+    # det mask (713-716): unvoiced zero, voiced crossfade mag -> zeros
+    m_det_mask = jnp.where(unv[:, None], 0.0, m_mag)
+    m_det_mask = jnp.where(voi[:, None], m_det_mask * w_down[None, :],
+                           m_det_mask)
+
+    if per_phase_type == "magphase":
+        m_ph = m_real + 1j * m_imag
+        m_ph_mag = jnp.abs(m_ph)
+        m_ph_mag = jnp.where(m_ph_mag == 0.0, 1.0, m_ph_mag)
+        m_det_c = m_det_mask * m_ph / m_ph_mag
+    elif per_phase_type == "linear":
+        m_det_c = m_det_mask.astype(m_ap_c.dtype)
+    else:
+        # min_phase: the reference builds the min-phase spectrum of the
+        # FULL magnitude without applying the det mask (magphase.py:731-732)
+        m_det_c = build_min_phase_from_mag_spec(m_mag)
+    m_det_c = jnp.where(m_det_mask == 0.0, 0.0 + 0.0j, m_det_c)   # 735
+    m_det_c = jnp.where(valid[:, None], m_det_c, 0.0 + 0.0j)
+    m_ap_c = jnp.where(valid[:, None], m_ap_c, 0.0 + 0.0j)
+    return m_det_c, m_ap_c, m_det_mask
+
+
+def _del_comp_roundtrip(spec, mask, fft_len: int):
+    """add_hermitian('complex') -> ifft -> fftshift -> fft -> remove
+    hermitian, with the mask==0 protection re-applied (the reference's
+    un-delay / re-delay steps around the 'det' Griffin-Lim,
+    magphase.py:740-744 and 752-756)."""
+    spec = spec.at[..., 0].set(spec[..., 0].real + 0j)
+    spec = spec.at[..., -1].set(spec[..., -1].real + 0j)
+    frames = jnp.fft.irfft(spec, n=fft_len)
+    frames = jnp.roll(frames, fft_len // 2, axis=-1)
+    out = jnp.fft.rfft(frames)
+    return jnp.where(mask == 0.0, 0.0 + 0.0j, out)
+
+
+# complex arrays must never cross the host<->device boundary: the axon TPU
+# tunnel raises UNIMPLEMENTED on complex64 transfers — download (mag, angle)
+# floats instead, and re-upload floats that a kernel recombines on device
+@functools.partial(jax.jit, static_argnames=("fft_len",))
+def _det_roundtrip_mag_angle_kernel(spec, mask, *, fft_len: int):
+    out = _del_comp_roundtrip(spec, mask, fft_len)
+    return jnp.abs(out), jnp.angle(out)
+
+
+@functools.partial(jax.jit, static_argnames=("fft_len",))
+def _del_comp_roundtrip_from_magphase_kernel(mag, phase, mask, *,
+                                             fft_len: int):
+    spec = (mag * jnp.exp(1j * phase)).astype(jnp.complex64)
+    return _del_comp_roundtrip(spec, mask, fft_len)
+
+
+@jax.jit
+def _syn_mag_kernel(m_syn):
+    """|S| with the DC/Nyquist imaginary parts zeroed (the re-analysed
+    frame magnitude fed to the 'whole' Griffin-Lim)."""
+    m_syn = m_syn.at[:, 0].set(m_syn[:, 0].real + 0j)
+    m_syn = m_syn.at[:, -1].set(m_syn[:, -1].real + 0j)
+    return jnp.abs(m_syn)
+
+
+@functools.partial(jax.jit, static_argnames=("fft_len", "out_len_max"))
+def _spec_ola_kernel(m_syn, pm, nfrms, *, fft_len: int, out_len_max: int):
+    """add_hermitian('complex') -> ifft -> fftshift -> OLA(win=None)
+    (magphase.py:762-766)."""
+    m_syn = m_syn.at[:, 0].set(m_syn[:, 0].real + 0j)
+    m_syn = m_syn.at[:, -1].set(m_syn[:, -1].real + 0j)
+    m_frm = jnp.fft.irfft(m_syn, n=fft_len)
+    m_frm = jnp.roll(m_frm, fft_len // 2, axis=1)
+    return framing.ola_centered_batch(m_frm[None], pm[None], nfrms[None],
+                                      out_len_max)[0]
+
+
+def synthesis_from_compressed_type1_old_with_griffin_lim(
+        m_mag_mel_log, m_real_mel, m_imag_mel, v_lf0, fs: int,
+        fft_len: int | None = None, hf_slope_coeff: float = 1.0,
+        b_voi_ap_win: bool = True, b_fbank_mel: bool = False,
+        const_rate_ms: float = -1.0, per_phase_type: str = "magphase",
+        griff_lim_type: str | None = None,
+        griff_lim_init: str = "magphase", key=None) -> np.ndarray:
+    """magphase.py:617-794: the old AP-mask synthesis with optional
+    Griffin-Lim refinement.
+
+    griff_lim_type: None (disabled), 'det' (refine only the deterministic
+    component: 10 GL iterations seeded with its own delay-compensated
+    phase, magphase.py:736-757), or 'whole' (re-estimate the whole
+    signal's phase with 50 min-phase-seeded GL iterations, 769-771 —
+    the reference passes the literal 'min', which matches none of its
+    griffin_lim inits and crashes; the evident intent 'min_phase' is
+    used here).
+    griff_lim_init is accepted for signature parity but, as in the
+    reference, never read (both GL branches hardcode their init).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    key, gl_key = jax.random.split(key)
+    (alpha, fft_len, m_mag_mel_log, m_real_mel, m_imag_mel, v_f0, v_voi,
+     v_shift) = _prep_common(m_mag_mel_log, m_real_mel, m_imag_mel, v_lf0,
+                             fs, fft_len, const_rate_ms > 0)
+    h = fft_len // 2 + 1
+    ncoeffs_mag = m_mag_mel_log.shape[1]
+
+    if b_fbank_mel:   # magphase.py:643-644
+        m_mag = jnp.exp(fbank.sp_mel_unwarp_fbank(
+            jnp.asarray(m_mag_mel_log, jnp.float32), h, alpha=alpha))
+    else:
+        m_mag = jnp.exp(melcep.sp_mel_unwarp(
+            jnp.asarray(m_mag_mel_log, jnp.float32), h, alpha=alpha,
+            in_type="log"))
+    m_real, m_imag = phase_uncompress_type1(
+        m_real_mel.astype(np.float32), m_imag_mel.astype(np.float32),
+        alpha, fft_len, ncoeffs_mag)
+
+    if const_rate_ms > 0:   # 663-673
+        v_shift, v_locs = framerate.get_shifts_and_frm_locs_from_const_shifts(
+            v_shift, const_rate_ms, fs)
+        m_mag = framerate.interp_from_const_to_variable_rate(
+            m_mag, v_locs, const_rate_ms, fs)
+        m_real = framerate.interp_from_const_to_variable_rate(
+            m_real, v_locs, const_rate_ms, fs)
+        m_imag = framerate.interp_from_const_to_variable_rate(
+            m_imag, v_locs, const_rate_ms, fs)
+        v_voi = np.asarray(framerate.interp_from_const_to_variable_rate(
+            (v_f0 > 0).astype(np.float64), v_locs, const_rate_ms,
+            fs)) > 0.5
+        v_f0 = np.where(v_voi, fs / np.maximum(v_shift, 1.0), 0.0)
+        v_voi = v_f0 > 1.0   # 683
+
+    nfrms = len(v_shift)
+    v_shift_i = np.asarray(v_shift).astype(np.int64)
+    v_pm = np.cumsum(v_shift_i)
+    ns_len = int(v_pm[-1] + (v_pm[-1] - v_pm[-2]))
+    out_len = ns_len + 1
+
+    F = bucket(nfrms, FRM_STEP)
+    NS = bucket_signal(ns_len)
+    O = bucket_signal(out_len)
+
+    def padf(x):
+        if not jnp.iscomplexobj(x):
+            x = jnp.asarray(x, jnp.float32)
+        return pad_rows(x, F)
+
+    pm_p = jnp.asarray(pad_to(v_pm.astype(np.int32), F))
+    m_det, m_ap, m_det_mask = _type1_old_masks_kernel(
+        padf(m_mag), padf(m_real), padf(m_imag),
+        jnp.asarray(pad_to(v_voi.astype(np.float32), F)), pm_p,
+        jnp.int32(nfrms), jnp.int32(ns_len), key, fs=fs, fft_len=fft_len,
+        hf_slope_coeff=hf_slope_coeff, b_voi_ap_win=b_voi_ap_win,
+        per_phase_type=per_phase_type, ns_len_max=NS)
+
+    if griff_lim_type == "det":   # 736-757
+        from .griffin_lim import griffin_lim
+        d_mag, d_ang = _det_roundtrip_mag_angle_kernel(m_det, m_det_mask,
+                                                       fft_len=fft_len)
+        m_mag_gl = np.asarray(jax.device_get(d_mag))[:nfrms]
+        _sig, m_phase_gl = griffin_lim(
+            m_mag_gl, v_shift_i,
+            phase_init=np.asarray(jax.device_get(d_ang))[:nfrms],
+            niters=10, key=gl_key)
+        m_det = _del_comp_roundtrip_from_magphase_kernel(
+            pad_rows(jnp.asarray(m_mag_gl, jnp.float32), F),
+            pad_rows(jnp.asarray(m_phase_gl, jnp.float32), F),
+            m_det_mask, fft_len=fft_len)
+
+    m_syn = m_det + m_ap
+    buf = _spec_ola_kernel(m_syn, pm_p, jnp.int32(nfrms), fft_len=fft_len,
+                           out_len_max=O)
+    v_syn = np.asarray(jax.device_get(buf)[:out_len], np.float64)
+
+    if griff_lim_type == "whole":   # 769-771
+        from .griffin_lim import griffin_lim
+        # the re-analysed frame magnitude: fftshift only flips the sign of
+        # odd bins ((-1)^k for even N), so |fft(fftshift(ifft(herm(S))))|
+        # = |S| with the DC/Nyquist imaginary parts zeroed
+        syn_mag = np.asarray(jax.device_get(_syn_mag_kernel(m_syn)))[:nfrms]
+        v_syn, _ = griffin_lim(syn_mag, v_shift_i,
+                               phase_init="min_phase", niters=50)
+
+    from scipy import signal as sp_signal
+    b, a = ellip_highpass_coeffs(4, 0.5, 80.0, 60.0, fs)
+    return sp_signal.lfilter(np.asarray(b), np.asarray(a), v_syn)
+
+
 # ---------------------------------------------------------------------------
 # analysis variants
 
