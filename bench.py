@@ -1,19 +1,43 @@
 #!/usr/bin/env python
-"""Benchmark: batch compressed vocoding throughput on TPU.
+"""Benchmark: batch compressed vocoding + batch compressed analysis on TPU,
+with a built-in correctness witness for the compiled Pallas kernels.
 
-Workload: the reference's batch_waveform_generation path
-(scripts/batch_waveform_generation.py, magphase.py:825-997) — synthesis of
-48 kHz waveforms from Merlin-predicted 60/45/45/1-dim MagPhase features —
-run as one jitted, batch-vectorised pipeline on device.
+Workloads (the reference's two batch scripts):
+  * synthesis — batch_waveform_generation (magphase.py:825-997): 48 kHz
+    waveforms from Merlin-predicted 60/45/45/1-dim features, one jitted
+    batch-vectorised pipeline.
+  * analysis — batch_feature_extraction_for_tts (magphase.py:2947-2988):
+    wav -> tracker -> epochs -> pitch-sync analysis -> mel compression,
+    via the two-phase async production pipeline.
+
+Timing on the axon tunnel is subtle (measured, see CLAUDE.md):
+  * jax.block_until_ready returns WITHOUT syncing until the process's
+    first real device_get; timing loops closed with it measure dispatch
+    only (round 1 recorded 10,516 audio-s/s that way; honest is ~300-500).
+  * the first device_get permanently flips the client into a
+    per-dispatch-sync mode, so a process gets ONE honest timed block.
+Hence each timed block runs in a fresh worker subprocess: warmup,
+AOT-compile a scalar probe (lower().compile() does not flip the client),
+dispatch N iterations fire-and-forget, then a single device_get of the
+probe drains the queue at true device speed.  Best of WORKER_REPS
+workers is reported (tunnel contention swings runs ~2x).
+
+Correctness witness (runs first; any failure exits nonzero, so the
+recorded BENCH json certifies the compiled kernels, not just their
+speed): batched lossless copy-synthesis must reconstruct demo wavs to
+sub-PCM16 error through the compiled Pallas framing/OLA path.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "audio_s_per_s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "audio_s_per_s", "vs_baseline": N,
+   "analysis_value": N, "analysis_unit": "audio_s_per_s", "checks": "ok"}
 
 Baseline: BASELINE.json targets >=5000 audio-s/s on a v5e-16, i.e.
-312.5 audio-s/s/chip; vs_baseline = value / 312.5.
+312.5 audio-s/s/chip for synthesis; vs_baseline = value / 312.5.
 """
+import glob
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -22,18 +46,19 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 PRED_DIR = "/root/reference/demos/data_48k/params_predicted"
+WAV_DIR = "/root/reference/demos/data_48k/wavs_nat"
 TOKENS = ["hvd_704", "hvd_705", "hvd_706", "hvd_708"]
 FS = 48000
 BATCH = 128
-ITERS = 8
+ITERS = 32
+ANALYSIS_BATCH = 24          # 10 demo wavs cycled; >2 HBM-budget groups
+ANALYSIS_REPS = 3
+WORKER_REPS = 2
 PER_CHIP_TARGET = 5000.0 / 16.0
 
 
-def main():
-    import jax
+def _load_utts():
     from magphase_tpu.io import read_binfile
-    from magphase_tpu.parallel.batch import synthesis_from_compressed_batch
-
     utts = []
     for i in range(BATCH):
         t = TOKENS[i % len(TOKENS)]
@@ -41,40 +66,128 @@ def main():
                      read_binfile(os.path.join(PRED_DIR, t + ".real"), 45),
                      read_binfile(os.path.join(PRED_DIR, t + ".imag"), 45),
                      read_binfile(os.path.join(PRED_DIR, t + ".lf0"), 1)))
+    return utts
 
+
+def _load_signals():
+    from magphase_tpu.io import read_wav
+    return [read_wav(w)[0]
+            for w in sorted(glob.glob(os.path.join(WAV_DIR, "*.wav")))]
+
+
+def check_correctness(signals):
+    """Compiled-Pallas witness: lossless round trip + output sanity."""
+    from magphase_tpu.parallel.copy_synthesis import copy_synthesis_batch
+
+    subset = signals[:4]
+    outs = copy_synthesis_batch(subset, FS)
+    for i, (sig, syn) in enumerate(zip(subset, outs)):
+        n = min(len(sig), len(syn))
+        err = np.abs(syn[2000:n - 2000] - sig[2000:n - 2000])
+        p99 = float(np.percentile(err, 99))
+        assert np.all(np.isfinite(syn)), f"utt {i}: non-finite output"
+        assert np.std(syn) > 1e-4, f"utt {i}: silent output"
+        # recorded corpus p99 is ~1.5e-7; one PCM16 step is 2^-15
+        assert p99 < 2.0 ** -15, f"utt {i}: lossless p99 err {p99:.3e}"
+
+
+def worker_synth():
+    """One honest synthesis block in a fresh process; prints a float."""
+    import jax
+    import jax.numpy as jnp
+    from magphase_tpu.parallel.batch import synthesis_from_compressed_batch
+
+    utts = _load_utts()
     key = jax.random.PRNGKey(0)
-
-    # warmup (compile)
     bufs, out_lens = synthesis_from_compressed_batch(
         utts, FS, key=key, block_result=False)
-    jax.block_until_ready(bufs)
-    audio_s_per_iter = float(sum(out_lens)) / FS
+    jax.block_until_ready(bufs)          # compile happens regardless
+    audio_s_iter = float(sum(out_lens)) / FS
+
+    @jax.jit
+    def _probe(x):
+        # jitted sanity+drain probe: finite AND non-silent, as a scalar.
+        # MUST stay jitted end-to-end — an eager op here would flip the
+        # client before the timed region
+        ok = jnp.all(jnp.isfinite(x)) & (jnp.std(x[:4]) > 1e-4)
+        return jnp.where(ok, jnp.sum(x[:, ::1024]), jnp.nan)
+
+    probe = _probe.lower(bufs).compile()
 
     # MAGPHASE_PROFILE_DIR=/tmp/trace writes a jax.profiler trace of the
     # timed region (view with tensorboard / xprof)
     from magphase_tpu.utils.metrics import profile_trace
 
-    # best of 3 timing blocks: the shared TPU tunnel shows multi-x
-    # contention swings between runs; the max reflects the chip
-    best_dt = float("inf")
     with profile_trace(os.environ.get("MAGPHASE_PROFILE_DIR")):
-        for rep in range(3):
-            t0 = time.perf_counter()
-            for i in range(ITERS):
-                bufs, _ = synthesis_from_compressed_batch(
-                    utts, FS, key=jax.random.PRNGKey(i),
-                    block_result=False)
-            jax.block_until_ready(bufs)
-            best_dt = min(best_dt, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        for i in range(ITERS):
+            bufs, _ = synthesis_from_compressed_batch(
+                utts, FS, key=jax.random.PRNGKey(i), block_result=False)
+        v = float(jax.device_get(probe(bufs)))      # drains the queue
+        dt = time.perf_counter() - t0
+    assert np.isfinite(v), "synthesis: non-finite or silent output"
+    print(json.dumps({"value": audio_s_iter * ITERS / dt}))
 
-    value = audio_s_per_iter * ITERS / best_dt
+
+def worker_analysis():
+    """Steady-state wav->features throughput of the async two-phase
+    pipeline (upload + device + feature download, end to end)."""
+    from magphase_tpu.parallel.analysis_batch import \
+        analysis_compressed_batch_async
+
+    signals = _load_signals()
+    batch = [signals[i % len(signals)] for i in range(ANALYSIS_BATCH)]
+    audio_s = sum(len(s) for s in batch) / FS
+
+    feats = analysis_compressed_batch_async(batch, FS)()   # warmup/compile
+    assert len(feats) == ANALYSIS_BATCH
+    for m, r, i, l, sh in feats[:2]:
+        assert np.all(np.isfinite(m)) and np.all(np.isfinite(l)), \
+            "analysis: non-finite features"
+        assert m.shape[1] == 60 and r.shape[1] == 45, "analysis: bad dims"
+
+    # feature downloads (device_get) sync every rep — honest by nature
+    best_dt = float("inf")
+    for rep in range(ANALYSIS_REPS):
+        t0 = time.perf_counter()
+        analysis_compressed_batch_async(batch, FS)()
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    print(json.dumps({"value": audio_s / best_dt}))
+
+
+def _run_worker(mode: str, reps: int) -> float:
+    best = 0.0
+    for _ in range(reps):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", mode],
+            capture_output=True, text=True, timeout=1800)
+        if out.returncode != 0:
+            sys.stderr.write(out.stderr[-4000:])
+            raise RuntimeError(f"bench worker {mode} failed")
+        best = max(best, json.loads(out.stdout.strip().split("\n")[-1])
+                   ["value"])
+    return best
+
+
+def main():
+    check_correctness(_load_signals())
+    synth = _run_worker("synth", WORKER_REPS)
+    analysis = _run_worker("analysis", 1)   # 3 reps internally
+
     print(json.dumps({
         "metric": "compressed_vocoding_throughput_1chip",
-        "value": round(value, 2),
+        "value": round(synth, 2),
         "unit": "audio_s_per_s",
-        "vs_baseline": round(value / PER_CHIP_TARGET, 3),
+        "vs_baseline": round(synth / PER_CHIP_TARGET, 3),
+        "analysis_metric": "compressed_analysis_throughput_1chip",
+        "analysis_value": round(analysis, 2),
+        "analysis_unit": "audio_s_per_s",
+        "checks": "ok",
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--worker":
+        {"synth": worker_synth, "analysis": worker_analysis}[sys.argv[2]]()
+    else:
+        main()
