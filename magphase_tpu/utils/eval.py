@@ -67,6 +67,7 @@ def align_by_xcorr(v_sig_a, v_sig_b, fs: int,
 
 def mel_spectral_distortion(v_sig_a, v_sig_b, fs: int, n_mel: int = 60,
                             align: bool = True, exclude_gain: bool = False,
+                            floor_db: float | None = None,
                             **kw) -> float:
     """Mean frame-wise mel-spectral distortion in dB between two waveforms
     (lower is better; identical signals -> 0).  Signals are aligned by
@@ -74,12 +75,20 @@ def mel_spectral_distortion(v_sig_a, v_sig_b, fs: int, n_mel: int = 60,
     truncated to the common length.  exclude_gain subtracts the per-frame
     mean log difference (the MCD convention of dropping c0), making the
     metric invariant to overall level — e.g. the 0.98 peak normalisation
-    of write_audio_file."""
+    of write_audio_file.  floor_db clamps both log-mel matrices at
+    floor_db below the REFERENCE signal's peak bin: without it, digital
+    silence in a natural recording (log floor) vs a vocoder's noise floor
+    dominates the mean with content-free distortion."""
     if align:
         v_sig_a, v_sig_b = align_by_xcorr(v_sig_a, v_sig_b, fs)
     n = min(len(v_sig_a), len(v_sig_b))
     ma = log_mel_spectrogram(v_sig_a[:n], fs, n_mel=n_mel, **kw)
     mb = log_mel_spectrogram(v_sig_b[:n], fs, n_mel=n_mel, **kw)
+    if floor_db is not None:
+        # magnitude-domain log-mel: x dB below peak = x * ln(10)/20
+        floor = ma.max() - floor_db * np.log(10.0) / 20.0
+        ma = np.maximum(ma, floor)
+        mb = np.maximum(mb, floor)
     d = ma - mb
     if exclude_gain:
         d = d - d.mean(axis=1, keepdims=True)
