@@ -101,7 +101,16 @@ def maybe_initialize_distributed() -> None:
         return
     if jax.distributed.is_initialized():
         return
+    # num_processes/process_id have NO env fallback inside
+    # jax.distributed.initialize (only Slurm/MPI/K8s/TPU-metadata cluster
+    # detection) — honour the conventional env vars so bare-metal and
+    # CPU-emulated multi-process launches work
+    kw = {}
+    if "JAX_NUM_PROCESSES" in os.environ:
+        kw["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if "JAX_PROCESS_ID" in os.environ:
+        kw["process_id"] = int(os.environ["JAX_PROCESS_ID"])
     # real init failures (unreachable/mistyped coordinator) must surface:
     # silently degrading to process_count=1 would make every host process
     # the FULL corpus and race on one shared manifest
-    jax.distributed.initialize()
+    jax.distributed.initialize(**kw)
