@@ -90,6 +90,91 @@ def test_post_filter_merlin_runs_and_preserves_scale(predicted_params):
     assert np.abs(np.mean(out) - np.mean(mag)) < 1.0
 
 
+def _np_freqt(c1, m2, a):
+    """SPTK freqt recursion (frequency transform of a cepstrum)."""
+    m1 = len(c1) - 1
+    b = 1.0 - a * a
+    g = np.zeros(m2 + 1)
+    for i in range(m1, -1, -1):
+        old = g.copy()
+        g[0] = c1[i] + a * old[0]
+        if m2 >= 1:
+            g[1] = b * old[0] + a * old[1]
+        for j in range(2, m2 + 1):
+            g[j] = old[j - 1] + a * (old[j] - g[j - 1])
+    return g
+
+
+def _np_c2acr_r0(c, fft_len):
+    """SPTK c2acr -M 0 -l fft_len: lag-0 autocorrelation from cepstrum."""
+    x = np.zeros(fft_len)
+    x[:len(c)] = c
+    sp = np.fft.rfft(x).real           # sum_k c_k cos(k w)
+    p = np.exp(2.0 * sp)               # power spectrum
+    return np.fft.irfft(p, n=fft_len)[0]
+
+
+def _np_mc2b(c, a):
+    b = np.zeros_like(c)
+    b[-1] = c[-1]
+    for i in range(len(c) - 2, -1, -1):
+        b[i] = c[i] - a * b[i + 1]
+    return b
+
+
+def _np_b2mc(b, a):
+    c = b.copy()
+    c[:-1] = b[:-1] + a * b[1:]
+    return c
+
+
+def test_post_filter_merlin_numpy_oracle(predicted_params):
+    """post_filter_merlin vs a numpy re-statement of the reference's six
+    SPTK shell stages (magphase.py:3397-3450): rceps 'compact' -> lifter
+    [1,1,pf..] -> c2acr(freqt(.,-alpha)) r0 ratio -> mc2b b0 swap ->
+    b2mc -> cosmat(alpha=0,'log')."""
+    fs, pf_coef, fft_len = 48000, 1.4, 4096
+    minph_ord = fft_len // 2 - 1
+    from magphase_tpu.config import define_alpha
+    alpha = define_alpha(fs)
+    mag = np.asarray(predicted_params[0][:8], np.float64)
+    nfrms, ncoeffs = mag.shape
+
+    got = np.asarray(post_filter_merlin(jnp.asarray(mag, jnp.float32), fs,
+                                        pf_coef=pf_coef))
+
+    # --- numpy oracle ---------------------------------------------------
+    # rceps(in='log', out='compact'): hermitian mirror, ifft, double the
+    # mid coeffs 1..ncoeffs-3 (the reference's exact slice, libaudio:266)
+    full = np.hstack([mag, mag[:, -2:0:-1]])
+    rc = np.fft.ifft(full).real
+    rc[:, 1:ncoeffs - 2] *= 2
+    m_mcep = rc[:, :ncoeffs]
+
+    w = np.full(ncoeffs, pf_coef)
+    w[:2] = 1.0
+
+    cos_tab = np.cos(np.linspace(0, np.pi, ncoeffs)[None, :] *
+                     np.arange(ncoeffs)[:, None])
+    oracle = np.empty_like(mag)
+    for f in range(nfrms):
+        c = m_mcep[f]
+        cw = c * w
+        r0 = _np_c2acr_r0(_np_freqt(c, minph_ord, -alpha), fft_len)
+        p_r0 = _np_c2acr_r0(_np_freqt(cw, minph_ord, -alpha), fft_len)
+        b = _np_mc2b(cw, alpha)
+        b[0] = np.log(r0 / p_r0) / 2.0 + b[0]
+        mcep_pf = _np_b2mc(b, alpha)
+        oracle[f] = mcep_pf @ cos_tab
+
+    # float32 device pipeline vs float64 oracle: the 2048-order freqt
+    # recursion + exp/log r0 matching accumulate ~1e-4 relative error
+    np.testing.assert_allclose(got, oracle, atol=5e-3, rtol=1e-3)
+    # and the r0-matching keeps per-frame energy aligned much tighter
+    np.testing.assert_allclose(got.mean(axis=1), oracle.mean(axis=1),
+                               atol=1e-3)
+
+
 def test_var_const_rate_interp_roundtrip():
     """var->const then const->var recovers smooth features."""
     fs = 48000
