@@ -19,7 +19,17 @@ import numpy as np
 from ..utils.padding import bucket
 from .tracker import FRAME_STEP_S, FS_ANALYSIS
 
-_SNAP_WIN = 1280          # >= 1.3 * max period (960 @ 48k) samples
+_WALK_UNROLL = 4          # walk-body copies per while_loop iteration
+
+
+def _snap_win(fs: int) -> int:
+    """Trough-search slice width for the voiced snap.
+
+    The searched span is [t+0.7p, t+1.3p), at most 0.6*p_max + 2 samples
+    with p_max = fs/F0_MIN (the kernel clips the period there) — 640 at
+    48 kHz, 256 at 16 kHz.  Sizing by fs instead of a fixed 1280 halves
+    the per-mark argmin work at 48 kHz."""
+    return bucket(int(np.ceil(0.6 * fs / 50.0)) + 2, 128)
 
 
 def placement_m_max(n_pad_sig: int, fs: int, frm_step: int = 128) -> int:
@@ -55,7 +65,9 @@ def place_epochs_kernel(y_snap, f0, voiced, n_sig, n_frames=None, *,
     unv_step = int(round(0.005 * fs))
     S = y_snap.shape[0]
 
-    def body(i, carry):
+    snap_w = _snap_win(fs)
+
+    def body(carry):
         t, n_marks, done, marks, flags = carry
         # t is an INT32 sample position: marks are integers, and float32
         # positions lose sample precision past 2^24 (~350 s at 48 kHz)
@@ -64,6 +76,9 @@ def place_epochs_kernel(y_snap, f0, voiced, n_sig, n_frames=None, *,
         is_voi = (voiced[fr] > 0) & (f0[fr] > 0)
         period = jnp.where(is_voi, fs / jnp.maximum(f0[fr], 1.0),
                            float(unv_step))
+        # the tracker guarantees f0 >= F0_MIN (lag <= fs_a/F0_MIN); clip
+        # so an out-of-contract f0 cannot outrun the snap slice
+        period = jnp.minimum(period, fs / 50.0)
         # host arithmetic: int(t + x) == t + floor(x) for integer t, x>=0 —
         # keeping t integral makes the window bounds exact at any length
         p_lo = jnp.floor(0.7 * period).astype(jnp.int32)
@@ -78,13 +93,13 @@ def place_epochs_kernel(y_snap, f0, voiced, n_sig, n_frames=None, *,
         # voiced: snap to trough of y_snap in [lo, hi) (half-open, as the
         # host's y_snap[lo:hi] slice).  dynamic_slice (contiguous) instead
         # of gather — the gather form serialises element-at-a-time on TPU.
-        # The slice start clamps to S-_SNAP_WIN for validity; the mask
+        # The slice start clamps to S-snap_w for validity; the mask
         # must therefore bound BOTH ends, or pre-window samples become
         # eligible when the clamp engages near the bucket boundary.
-        lo_slice = jnp.clip(lo, 0, S - _SNAP_WIN)
-        offs = jnp.arange(_SNAP_WIN)
+        lo_slice = jnp.clip(lo, 0, S - snap_w)
+        offs = jnp.arange(snap_w)
         pos = lo_slice + offs
-        vals = jax.lax.dynamic_slice(y_snap, (lo_slice,), (_SNAP_WIN,))
+        vals = jax.lax.dynamic_slice(y_snap, (lo_slice,), (snap_w,))
         in_win = (pos >= jnp.maximum(lo, 0)) & (pos < hi)
         vals = jnp.where(in_win, vals, jnp.inf)
         nxt_voi = lo_slice + jnp.argmin(vals).astype(jnp.int32)
@@ -97,7 +112,11 @@ def place_epochs_kernel(y_snap, f0, voiced, n_sig, n_frames=None, *,
         min_adv = jnp.where(is_voi, jnp.maximum(1, p_lo), 1)
         nxt = jnp.where(nxt <= prev, prev + min_adv, nxt)
 
-        ok = (~done) & (nxt < n_sig - 1) & (hi > lo + 1)
+        # n_marks < m_max keeps the write in bounds; at capacity the
+        # walker stops with n_marks == m_max (callers detect this and
+        # fall back to the host walk)
+        ok = (~done) & (nxt < n_sig - 1) & (hi > lo + 1) & \
+            (n_marks < m_max)
         marks = jnp.where(ok, marks.at[n_marks].set(nxt), marks)
         flags = jnp.where(ok, flags.at[n_marks].set(
             is_voi.astype(jnp.float32)), flags)
@@ -109,19 +128,23 @@ def place_epochs_kernel(y_snap, f0, voiced, n_sig, n_frames=None, *,
     # while_loop, not fori_loop over m_max: capacity is sized for the
     # worst case (400 marks/s) but real speech places far fewer marks —
     # early exit makes walk cost scale with actual marks.  Under vmap the
-    # batched loop runs until every utterance's walker is done.
-    def cond(state):
-        i, carry = state
-        return (i < m_max) & ~carry[2]
+    # batched loop runs until every utterance's walker is done.  The body
+    # is unrolled _WALK_UNROLL x per iteration: the chain is inherently
+    # sequential, but fewer loop iterations means fewer per-step fixed
+    # costs (cond eval + vmapped select), the dominant cost of this
+    # latency-bound loop on TPU.  `done` makes extra body copies no-ops,
+    # so the unroll never overruns.
+    def cond(carry):
+        return ~carry[2]
 
-    def wbody(state):
-        i, carry = state
-        return i + 1, body(i, carry)
+    def wbody(carry):
+        for _ in range(_WALK_UNROLL):
+            carry = body(carry)
+        return carry
 
     init = (jnp.int32(0), jnp.int32(0), jnp.bool_(False),
             jnp.zeros(m_max, jnp.int32), jnp.zeros(m_max, jnp.float32))
-    _, (_, n_marks, _, marks, flags) = jax.lax.while_loop(
-        cond, wbody, (jnp.int32(0), init))
+    (_, n_marks, _, marks, flags) = jax.lax.while_loop(cond, wbody, init)
     return marks, flags, n_marks
 
 

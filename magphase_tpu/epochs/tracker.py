@@ -213,8 +213,10 @@ def _viterbi(vals: jnp.ndarray, lags: jnp.ndarray, valid: jnp.ndarray,
 
     ll_all = jnp.concatenate([log_lag, jnp.zeros((T, 1))], axis=1)
     init = (local[0], ll_all[0])
+    # unroll: each step is a tiny (K+1)^2 DP update, so the scan is
+    # latency-bound on TPU — unrolling amortises the per-step fixed cost
     (_, _), (back, deltas) = jax.lax.scan(
-        step, init, (local[1:], ll_all[1:], valid[1:]))
+        step, init, (local[1:], ll_all[1:], valid[1:]), unroll=8)
 
     last_state = jnp.argmin(deltas[-1])
 
@@ -225,7 +227,7 @@ def _viterbi(vals: jnp.ndarray, lags: jnp.ndarray, valid: jnp.ndarray,
         return prev, state
 
     first_state, states_rev = jax.lax.scan(bstep, last_state, back,
-                                           reverse=True)
+                                           reverse=True, unroll=8)
     states = jnp.concatenate([first_state[None], states_rev])
     return states
 

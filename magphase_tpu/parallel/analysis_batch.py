@@ -119,6 +119,38 @@ def _epochs_budget(epochs, fft_len: int, mesh=None) -> int:
     return budget_batch_cap(mesh, max_b)
 
 
+def assemble_signal_rows(signals: list, B: int, S: int) -> np.ndarray:
+    """(B, S) padded batch matrix, preallocated + row-assigned.
+
+    Uploaded as int16 when every signal is exactly PCM16-valued (true for
+    anything read from a 16-bit wav): halves the bytes over the host link
+    — the dominant cost of the tunnel-bound analysis path — and the
+    kernels rescale on device bit-identically (k/32768 is exact in
+    float32).  Any non-PCM16 signal falls back to one float32 batch."""
+    rows16 = np.zeros((B, S), np.int16)
+    for b, s in enumerate(signals):
+        a = np.asarray(s)
+        q = np.rint(a * 32768.0)
+        if not (q.size == 0 or
+                (q.min(initial=0) >= -32768 and q.max(initial=0) <= 32767
+                 and np.array_equal(q / 32768.0, a))):
+            break
+        rows16[b, :len(a)] = q.astype(np.int16)
+    else:
+        return rows16
+    rows = np.zeros((B, S), np.float32)
+    for b, s in enumerate(signals):
+        rows[b, :len(s)] = s
+    return rows
+
+
+def _sigs_f32(sigs):
+    """Device-side inverse of assemble_signal_rows' int16 packing."""
+    if sigs.dtype == jnp.int16:
+        return sigs.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
+    return sigs
+
+
 def _device_signal_batch(signals: list, fs: int, mesh=None,
                          fft_len: int = 4096):
     """Bucket/pad a list of signals for the fused tracker kernels.
@@ -134,10 +166,7 @@ def _device_signal_batch(signals: list, fs: int, mesh=None,
     B = bucket(n_real, capped_batch_step(mesh, max_b))
     if B > n_real:
         signals = list(signals) + [np.zeros(1024)] * (B - n_real)
-    # preallocate + row assignment (no per-array np.pad copies)
-    sigs = np.zeros((B, S), np.float32)
-    for b, s in enumerate(signals):
-        sigs[b, :len(s)] = s
+    sigs = assemble_signal_rows(signals, B, S)
     n_sigs = np.asarray([len(s) for s in signals], np.int32)
     n_frames, Tmax = _tracker_frame_geometry(signals, fs)
 
@@ -174,6 +203,7 @@ def _fused_track_lossless_kernel(sigs, n_sigs, n_frames, *, fs: int,
     """
     from ..vocoder.lossless import analysis_core_batch
 
+    sigs = _sigs_f32(sigs)
     track_one = functools.partial(
         track_and_place_one, fs=fs,
         n_frames_max=n_frames_max, m_max=m_max)
@@ -227,7 +257,7 @@ def _track_place_kernel(sigs, n_sigs, n_frames, *, fs: int,
     track_one = functools.partial(
         track_and_place_one, fs=fs,
         n_frames_max=n_frames_max, m_max=m_max)
-    return jax.vmap(track_one)(sigs, n_sigs, n_frames)
+    return jax.vmap(track_one)(_sigs_f32(sigs), n_sigs, n_frames)
 
 
 @functools.partial(jax.jit, static_argnames=("fs", "fft_len", "F",
@@ -247,6 +277,7 @@ def _analyze_compress_kernel(sigs, marks, flags, n_marks, n_sigs, *,
     between the phases (the signals and marks stay on device)."""
     from ..vocoder.lossless import analysis_core_batch
 
+    sigs = _sigs_f32(sigs)
     marks = marks[:, :F]
     flags = flags[:, :F]
     mag, real, imag, f0, shift = analysis_core_batch(

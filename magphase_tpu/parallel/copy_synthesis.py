@@ -35,6 +35,8 @@ def _copy_synthesis_kernel(sigs, n_sigs, n_frames, *, fs: int,
                            n_frames_max: int, m_max: int, fft_len: int,
                            out_len_max: int):
     """(B, S) signals -> (B, out_len_max) resynthesised signals + stats."""
+    from .analysis_batch import _sigs_f32
+    sigs = _sigs_f32(sigs)
     track_one = functools.partial(
         track_and_place_one, fs=fs,
         n_frames_max=n_frames_max, m_max=m_max)
@@ -76,9 +78,8 @@ def copy_synthesis_batch(signals: list, fs: int, fft_len: int = 4096,
     B = bucket(n_real, capped_batch_step(mesh, max_b))
     if B > n_real:
         signals = list(signals) + [np.zeros(1024)] * (B - n_real)
-    sigs = np.zeros((len(signals), S), np.float32)
-    for b, s in enumerate(signals):
-        sigs[b, :len(s)] = s
+    from .analysis_batch import assemble_signal_rows
+    sigs = assemble_signal_rows(signals, len(signals), S)
     n_sigs = np.asarray([len(s) for s in signals], np.int32)
 
     n_frames, Tmax = _tracker_frame_geometry(signals, fs)
