@@ -105,11 +105,17 @@ def cmd_extract(args) -> int:
         from .parallel.analysis_batch import analysis_compressed_batch_async
 
         def process_batch(chunk):
-            sigs, fss = [], []
-            for tok in chunk:
-                s, f = read_wav(os.path.join(args.wav_dir, tok + ".wav"))
-                sigs.append(s)
-                fss.append(f)
+            # native threaded batch read (C++ decode fan-out, io/native.py);
+            # falls back to the Python codec per file when the shared
+            # library is unavailable
+            from .io import native as native_io
+
+            paths = [os.path.join(args.wav_dir, tok + ".wav")
+                     for tok in chunk]
+            max_len = max(read_wav_info(p)[0] for p in paths)
+            rows, lens, fss = native_io.batch_read_wavs(paths, max_len)
+            sigs = [rows[i, :lens[i]] for i in range(len(chunk))]
+            fss = [int(f) for f in fss]
             if len(set(fss)) > 1:
                 # mixed-rate chunk: raising here drops the runner into
                 # singleton retries, where each file gets its own fs

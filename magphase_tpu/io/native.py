@@ -63,30 +63,25 @@ def available() -> bool:
     return _load() is not None
 
 
-def read_wav(path: str, max_seconds: float = 120.0):
-    """Native WAV read -> (float32 signal, fs); falls back to Python."""
+def read_wav(path: str):
+    """Native WAV read -> (float32 signal, fs); falls back to Python.
+
+    The buffer is sized exactly from the RIFF header (a ~100-byte read),
+    so arbitrarily long files decode without an artificial cap."""
     lib = _load()
     if lib is None:
         from .wav import read_wav as py_read
         sig, fs = py_read(path)
         return np.asarray(sig, np.float32), fs
-    max_len = int(max_seconds * 96000)
-    out = np.empty(max_len, np.float32)
+    from .wav import read_wav_info
+    total, _ = read_wav_info(path)
+    out = np.empty(total, np.float32)
     fs = ctypes.c_int32(0)
-    n = lib.mp_read_wav(path.encode(), out.ctypes.data, max_len,
+    n = lib.mp_read_wav(path.encode(), out.ctypes.data, total,
                         ctypes.byref(fs))
     if n < 0:
         raise IOError(f"native wav read failed: {path}")
-    if n == max_len:
-        # the C side clamps to the buffer (min(total, max_len)); never
-        # return a silently truncated signal — check the real length
-        from .wav import read_wav_info
-        total, _ = read_wav_info(path)
-        if total > max_len:
-            raise ValueError(
-                f"{path}: {total} samples exceeds the {max_len}-sample "
-                f"native buffer; raise max_seconds or use io.wav.read_wav")
-    return out[:n].copy(), int(fs.value)
+    return out[:n], int(fs.value)
 
 
 def batch_read_wavs(paths: list[str], max_len: int,
