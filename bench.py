@@ -129,6 +129,30 @@ def worker_synth():
     print(json.dumps({"value": audio_s_iter * ITERS / dt}))
 
 
+def worker_synth_device():
+    """Pure device throughput via the scan-loop method (one program holds
+    the chip for K pipeline iterations; see tools/device_bench.py).  This
+    is the serving-relevant number: in a TTS deployment the features come
+    from an acoustic model already on device, so the host-link upload
+    that bounds the E2E metric on the axon tunnel does not apply."""
+    import jax
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tools"))
+    from device_bench import build_loop_kernel, prepare_args
+
+    args, statics, audio_s = prepare_args(_load_utts(), FS, 4096)
+    loop = build_loop_kernel()
+    key = jax.random.PRNGKey(0)
+    times = {}
+    for iters in (2, 18, 2, 18):
+        t0 = time.perf_counter()
+        v = float(jax.device_get(loop(*args, key, iters=iters, **statics)))
+        times.setdefault(iters, []).append(time.perf_counter() - t0)
+    assert np.isfinite(v), "synthesis device loop: non-finite probe"
+    per_iter = (min(times[18]) - min(times[2])) / 16.0
+    print(json.dumps({"value": audio_s / per_iter}))
+
+
 def worker_analysis():
     """Steady-state wav->features throughput of the async two-phase
     pipeline (upload + device + feature download, end to end)."""
@@ -172,13 +196,17 @@ def _run_worker(mode: str, reps: int) -> float:
 def main():
     check_correctness(_load_signals())
     synth = _run_worker("synth", WORKER_REPS)
-    analysis = _run_worker("analysis", 1)   # 3 reps internally
+    synth_dev = _run_worker("synth_device", 1)  # contention-immune
+    analysis = _run_worker("analysis", 1)       # 3 reps internally
 
     print(json.dumps({
         "metric": "compressed_vocoding_throughput_1chip",
         "value": round(synth, 2),
         "unit": "audio_s_per_s",
         "vs_baseline": round(synth / PER_CHIP_TARGET, 3),
+        "device_metric": "compressed_vocoding_device_throughput_1chip",
+        "device_value": round(synth_dev, 2),
+        "device_vs_baseline": round(synth_dev / PER_CHIP_TARGET, 3),
         "analysis_metric": "compressed_analysis_throughput_1chip",
         "analysis_value": round(analysis, 2),
         "analysis_unit": "audio_s_per_s",
@@ -188,6 +216,7 @@ def main():
 
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--worker":
-        {"synth": worker_synth, "analysis": worker_analysis}[sys.argv[2]]()
+        {"synth": worker_synth, "synth_device": worker_synth_device,
+         "analysis": worker_analysis}[sys.argv[2]]()
     else:
         main()

@@ -29,7 +29,7 @@ from ..utils.padding import (FRM_STEP, MAX_FRAME_ELEMS, bucket,
                              bucket_signal)
 from ..vocoder.compressed import (
     _unwarp_kernel, get_num_full_mel_coeffs_from_num_phase_coeffs,
-    synthesis_core_batch)
+    max_pitch_sync_framelen, synthesis_core_batch, synthesis_fft_len)
 from ..vocoder.postfilter import post_filter, post_filter_merlin
 from .mesh import budget_batch_cap, capped_batch_step, shard_batch
 
@@ -49,6 +49,9 @@ def _fused_batch_kernel(feats, voi, pm, shifts, nfrms, ns_len, key, *,
     (magphase.py:825-997 + 3259-3268 batched)."""
     B, F, _D = feats.shape
     h = fft_len // 2 + 1
+    # features arrive float16 (halves the host-link upload bytes); all
+    # compute is float32
+    feats = feats.astype(jnp.float32)
     mag_mel = feats[..., :mag_dim].reshape(B * F, mag_dim)
     real_mel = feats[..., mag_dim:mag_dim + phase_dim].reshape(B * F,
                                                               phase_dim)
@@ -104,12 +107,21 @@ def synthesis_from_compressed_batch(utts, fs: int,
     mag_dim_ph = get_num_full_mel_coeffs_from_num_phase_coeffs(
         define_crossfade_params(fs)[0], phase_dim, alpha_phase, fs)
 
-    # HBM budget: the kernel materialises (B, F, fft_len) spectra — split
+    # adaptive synthesis FFT from the realised shifts of the whole call
+    # (see vocoder.compressed.synthesis_fft_len) — also relaxes the HBM
+    # budget, so smaller synthesis FFTs admit larger sub-batches
+    fft_syn = synthesis_fft_len(fft_len, max(
+        max_pitch_sync_framelen(
+            (fs / np.where(f0 == 0.0, 200.0, f0)).astype(np.int64))
+        for f0 in (np.exp(np.atleast_1d(np.squeeze(np.asarray(
+            u[3], np.float64)))) for u in utts)))
+
+    # HBM budget: the kernel materialises (B, F, fft_syn) spectra — split
     # oversized batches (long utterances) into sequential sub-batches
     F_est = bucket(max(np.atleast_1d(np.squeeze(u[3])).shape[0]
                        for u in utts), FRM_STEP)
     budget = MAX_FRAME_ELEMS * (mesh.size if mesh is not None else 1)
-    max_b = budget_batch_cap(mesh, max(1, int(budget // (F_est * fft_len))))
+    max_b = budget_batch_cap(mesh, max(1, int(budget // (F_est * fft_syn))))
     if len(utts) > max_b:
         out, rows, lens_all = [], [], []
         for i in range(0, len(utts), max_b):
@@ -145,8 +157,10 @@ def synthesis_from_compressed_batch(utts, fs: int,
     F = bucket(int(nfrms.max()), FRM_STEP)
     D = mag_dim + 2 * phase_dim
 
-    # one preallocated feature tensor + MAGIC-padded lf0 (no per-array pad)
-    feats = np.zeros((B, F, D), np.float32)
+    # one preallocated feature tensor + MAGIC-padded lf0 (no per-array
+    # pad).  float16: halves the dominant upload over the host link; the
+    # kernel computes in float32 (same quantisation as the single path)
+    feats = np.zeros((B, F, D), np.float16)
     lf0_b = np.full((B, F), -1.0e10)
     for b, (mag, real, imag, lf0) in enumerate(utts):
         n = nfrms[b]
@@ -179,7 +193,7 @@ def synthesis_from_compressed_batch(utts, fs: int,
         args = shard_batch(mesh, *args)
 
     bufs = _fused_batch_kernel(
-        *args, key, fs=fs, fft_len=fft_len, alpha=alpha,
+        *args, key, fs=fs, fft_len=fft_syn, alpha=alpha,
         alpha_phase=alpha_phase, mag_dim=mag_dim, phase_dim=phase_dim,
         mag_dim_ph=mag_dim_ph, b_voi_ap_win=b_voi_ap_win,
         per_phase_type=per_phase_type, out_len_max=O, ns_len_max=NS,

@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Contention-immune device timing of the synthesis pipeline.
+
+The shared axon tunnel interleaves other tenants' programs between
+dispatches, so wall-clock over many dispatches swings 2-4x.  This tool
+wraps K pipeline iterations inside ONE jitted lax.scan that reduces to a
+scalar: a single program holds the chip for its whole duration, so
+(t(K=hi) - t(K=lo)) / (hi - lo) is pure per-iteration device time, free
+of tunnel queueing, dispatch overhead, and the client sync-mode flip.
+
+Usage:  python tools/device_bench.py [fft_len] [batch]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+PRED_DIR = "/root/reference/demos/data_48k/params_predicted"
+TOKENS = ["hvd_704", "hvd_705", "hvd_706", "hvd_708"]
+FS = 48000
+
+
+def build_loop_kernel():
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from magphase_tpu.parallel import batch as pb
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("iters", "fs", "fft_len", "alpha", "alpha_phase",
+                         "mag_dim", "phase_dim", "mag_dim_ph",
+                         "b_voi_ap_win", "per_phase_type", "out_len_max",
+                         "ns_len_max", "b_out_hpf", "pf_type"))
+    def loop_kernel(feats, voi, pm, shifts, nfrms, ns_len, key, *, iters,
+                    **statics):
+        def body(acc, k):
+            bufs = pb._fused_batch_kernel(feats, voi, pm, shifts, nfrms,
+                                          ns_len, k, **statics)
+            return acc + jnp.sum(bufs[:, ::1024]), None
+
+        keys = jax.random.split(key, iters)
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), keys)
+        return acc
+
+    return loop_kernel
+
+
+def prepare_args(utts, fs, fft_len):
+    """Host-side assembly identical to synthesis_from_compressed_batch
+    (float16 features, adaptive synthesis FFT derived from fft_len)."""
+    import jax
+    import jax.numpy as jnp
+    from magphase_tpu.config import (define_alpha, define_crossfade_params)
+    from magphase_tpu.utils.padding import FRM_STEP, bucket, bucket_signal
+    from magphase_tpu.vocoder.compressed import (
+        get_num_full_mel_coeffs_from_num_phase_coeffs,
+        max_pitch_sync_framelen, synthesis_fft_len)
+
+    fft_len = synthesis_fft_len(fft_len, max(
+        max_pitch_sync_framelen(
+            (fs / np.where(f0 == 0.0, 200.0, f0)).astype(np.int64))
+        for f0 in (np.exp(np.atleast_1d(np.squeeze(np.asarray(
+            u[3], np.float64)))) for u in utts)))
+    print(f"synthesis fft: {fft_len}", flush=True)
+    alpha = define_alpha(fs)
+    mag_dim = utts[0][0].shape[1]
+    phase_dim = utts[0][1].shape[1]
+    mag_dim_ph = get_num_full_mel_coeffs_from_num_phase_coeffs(
+        define_crossfade_params(fs)[0], phase_dim, alpha, fs)
+    B = len(utts)
+    nfrms = np.asarray([np.atleast_1d(np.squeeze(u[3])).shape[0]
+                        for u in utts], np.int64)
+    F = bucket(int(nfrms.max()), FRM_STEP)
+    D = mag_dim + 2 * phase_dim
+    feats = np.zeros((B, F, D), np.float16)
+    lf0_b = np.full((B, F), -1.0e10)
+    for b, (mag, real, imag, lf0) in enumerate(utts):
+        n = nfrms[b]
+        feats[b, :n, :mag_dim] = mag
+        feats[b, :n, mag_dim:mag_dim + phase_dim] = real
+        feats[b, :n, mag_dim + phase_dim:] = imag
+        lf0_b[b, :n] = np.squeeze(np.asarray(lf0, np.float64))
+    v_f0 = np.exp(lf0_b)
+    voi_b = v_f0 > 1.0
+    shifts_b = (fs / np.where(v_f0 == 0.0, 200.0, v_f0)).astype(np.int64)
+    pm_b = np.cumsum(shifts_b, axis=1)
+    rows = np.arange(B)
+    last = pm_b[rows, nfrms - 1]
+    prev = pm_b[rows, np.maximum(nfrms - 2, 0)]
+    ns_lens = last + (last - prev)
+    out_lens = (ns_lens + 1).tolist()
+    O = bucket_signal(int(max(out_lens)))
+    NS = bucket_signal(int(ns_lens.max()))
+    args = (jnp.asarray(feats), jnp.asarray(voi_b.astype(np.float32)),
+            jnp.asarray(pm_b.astype(np.int32)),
+            jnp.asarray(shifts_b.astype(np.int32)),
+            jnp.asarray(nfrms.astype(np.int32)),
+            jnp.asarray(ns_lens.astype(np.int32)))
+    statics = dict(fs=fs, fft_len=fft_len, alpha=alpha, alpha_phase=alpha,
+                   mag_dim=mag_dim, phase_dim=phase_dim,
+                   mag_dim_ph=mag_dim_ph, b_voi_ap_win=True,
+                   per_phase_type="magphase", out_len_max=O, ns_len_max=NS,
+                   b_out_hpf=True, pf_type="no")
+    audio_s = float(sum(out_lens)) / fs
+    return args, statics, audio_s
+
+
+def main():
+    fft_len = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    import jax
+    from magphase_tpu.io import read_binfile
+
+    utts = []
+    for i in range(batch):
+        t = TOKENS[i % len(TOKENS)]
+        utts.append(
+            (read_binfile(os.path.join(PRED_DIR, t + ".mag"), 60),
+             read_binfile(os.path.join(PRED_DIR, t + ".real"), 45),
+             read_binfile(os.path.join(PRED_DIR, t + ".imag"), 45),
+             np.atleast_1d(read_binfile(os.path.join(PRED_DIR,
+                                                     t + ".lf0"), 1))))
+    args, statics, audio_s = prepare_args(utts, FS, fft_len)
+    loop = build_loop_kernel()
+    key = jax.random.PRNGKey(0)
+
+    times = {}
+    for iters in (2, 18, 2, 18):
+        t0 = time.perf_counter()
+        v = float(jax.device_get(loop(*args, key, iters=iters, **statics)))
+        dt = time.perf_counter() - t0
+        times.setdefault(iters, []).append(dt)
+        print(f"iters={iters}: {dt:.3f}s (probe {v:.2f})", flush=True)
+    per_iter = (min(times[18]) - min(times[2])) / 16.0
+    print(f"fft={fft_len} B={batch}: {per_iter*1e3:.1f} ms/iter device "
+          f"-> {audio_s/per_iter:.1f} audio-s/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
