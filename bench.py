@@ -51,7 +51,9 @@ TOKENS = ["hvd_704", "hvd_705", "hvd_706", "hvd_708"]
 FS = 48000
 BATCH = 128
 ITERS = 32
-ANALYSIS_BATCH = 24          # 10 demo wavs cycled; >2 HBM-budget groups
+ANALYSIS_BATCH = 64          # 10 demo wavs cycled; >=2 HBM-budget groups,
+                             # so the two-phase pipelining engages as in
+                             # steady-state corpus extraction
 ANALYSIS_REPS = 3
 WORKER_REPS = 2
 PER_CHIP_TARGET = 5000.0 / 16.0

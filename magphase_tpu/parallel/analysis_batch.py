@@ -263,11 +263,13 @@ def _track_place_kernel(sigs, n_sigs, n_frames, *, fs: int,
 @functools.partial(jax.jit, static_argnames=("fs", "fft_len", "F",
                                              "mag_dim", "phase_dim",
                                              "mag_dim_ph", "alpha",
-                                             "alpha_phase", "fc_max"))
+                                             "alpha_phase", "fc_max",
+                                             "feats_f16"))
 def _analyze_compress_kernel(sigs, marks, flags, n_marks, n_sigs, *,
                              fs: int, fft_len: int, F: int, mag_dim: int,
                              phase_dim: int, mag_dim_ph: int, alpha: float,
-                             alpha_phase: float, fc_max: int = 0):
+                             alpha_phase: float, fc_max: int = 0,
+                             feats_f16: bool = False):
     """Phase 2: analysis + mel-compression at the REALISED frame bucket F.
 
     The walk capacity m_max is the 400-marks/s worst case; real speech
@@ -291,6 +293,11 @@ def _analyze_compress_kernel(sigs, marks, flags, n_marks, n_sigs, *,
     mml, mrm, mim, lf0 = _compress_streams(
         mag, real, imag, f0, mag_dim=mag_dim, phase_dim=phase_dim,
         mag_dim_ph=mag_dim_ph, alpha=alpha, alpha_phase=alpha_phase)
+    if feats_f16:
+        # transfer encoding for the (download-bound) host link: the mel
+        # streams quantise to ~1e-3 relative — far below the mel
+        # compression error — while lf0 (MAGIC -1e10) and shift stay f32
+        mml, mrm, mim = (x.astype(jnp.float16) for x in (mml, mrm, mim))
     return mml, mrm, mim, lf0, shift, n_valid
 
 
@@ -441,7 +448,7 @@ def analysis_compressed_batch(signals: list, fs: int, mag_dim: int = 60,
                               epochs: list | None = None,
                               alpha_phase: float | None = None,
                               b_const_rate: bool = False,
-                              mesh=None):
+                              mesh=None, feat_dtype=np.float16):
     """Batched compressed analysis, fully fused on device.  Returns list of
     (mag_mel_log, real_mel, imag_mel, lf0, shift); with b_const_rate the
     feature streams are on the constant 5 ms grid while shift stays the
@@ -464,7 +471,8 @@ def analysis_compressed_batch(signals: list, fs: int, mag_dim: int = 60,
         return analysis_compressed_batch_async(
             signals, fs, mag_dim=mag_dim, phase_dim=phase_dim,
             fft_len=fft_len, alpha_phase=alpha_phase,
-            b_const_rate=b_const_rate, mesh=mesh)()
+            b_const_rate=b_const_rate, mesh=mesh,
+            feat_dtype=feat_dtype)()
 
     # HBM budget + bucket the batch axis (dummies dropped on return)
     n_real = len(signals)
@@ -531,10 +539,15 @@ def analysis_compressed_batch_async(signals: list, fs: int,
                                     fft_len: int | None = None,
                                     alpha_phase: float | None = None,
                                     b_const_rate: bool = False,
-                                    mesh=None):
+                                    mesh=None, feat_dtype=np.float16):
     """Dispatch the two-phase tracking -> analysis+compression production
     path for one utterance batch WITHOUT blocking; returns
     ``finalize() -> feats``.
+
+    ``feat_dtype``: host-link transfer encoding for the mel streams
+    (float16 default halves the dominant feature download; ~1e-3 relative
+    quantisation, far below the mel compression error — pass np.float32
+    for bit-exact parity with the epochs-given sync path).
 
     Phase 1 (tracking + on-device epoch placement) launches immediately;
     phase 2 (analysis + compression at the realised frame bucket) is
@@ -573,7 +586,8 @@ def analysis_compressed_batch_async(signals: list, fs: int,
                 dev[0], marks, flags, n_marks, dev[1], fs=fs,
                 fft_len=fft_len, F=Fa, mag_dim=mag_dim,
                 phase_dim=phase_dim, mag_dim_ph=mag_dim_ph, alpha=alpha,
-                alpha_phase=alpha_phase, fc_max=fc_max)
+                alpha_phase=alpha_phase, fc_max=fc_max,
+                feats_f16=(np.dtype(feat_dtype) == np.float16))
 
             def download():
                 if fc_max > 0:

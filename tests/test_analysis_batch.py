@@ -149,8 +149,12 @@ def test_compressed_batch_const_rate_tracker_path():
     tok = "hvd_594"
     sig = _load(tok)
     fs = 48000
+    # feat_dtype=float32: pin the device pipeline's numerics exactly; the
+    # float16 default is only a host-link transfer encoding, asserted at
+    # its quantisation bound below
     out = analysis_compressed_batch([sig], fs, mag_dim=60, phase_dim=45,
-                                    b_const_rate=True)   # tracker path
+                                    b_const_rate=True,
+                                    feat_dtype=np.float32)  # tracker path
     mml_b, mrm_b, mim_b, lf0_b, sh_b = out[0]
 
     pm_sec, voi = extract_epochs(sig, fs)
@@ -163,3 +167,13 @@ def test_compressed_batch_const_rate_tracker_path():
     assert np.median(np.abs(mml_b - mml_r)) < 1e-4
     m = (lf0_b > -1e9) & (lf0_r > -1e9)
     assert np.max(np.abs(lf0_b[m] - lf0_r[m])) < 2e-3
+
+    # the default (float16 downloads) must agree to quantisation level:
+    # one f16 ulp at |mml|<=16 is 2^-7, phase streams are in [-1, 1]
+    out16 = analysis_compressed_batch([sig], fs, mag_dim=60, phase_dim=45,
+                                      b_const_rate=True)
+    mml_h, mrm_h, mim_h, lf0_h, sh_h = out16[0]
+    assert np.max(np.abs(mml_h - mml_b)) < 2.0 ** -7
+    assert np.max(np.abs(mrm_h - mrm_b)) < 2.0 ** -10
+    assert np.array_equal(lf0_h, lf0_b)
+    assert np.array_equal(sh_h, sh_b)

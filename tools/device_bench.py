@@ -109,7 +109,101 @@ def prepare_args(utts, fs, fft_len):
     return args, statics, audio_s
 
 
+def bench_analysis_phases(batch=24):
+    """Device time of the two analysis phases, via scan loops."""
+    import functools
+    import glob
+    import jax
+    import jax.numpy as jnp
+    from magphase_tpu.io import read_wav
+    from magphase_tpu.parallel import analysis_batch as ab
+    from magphase_tpu.utils.padding import bucket, FRM_STEP
+    from magphase_tpu.config import (define_alpha, define_crossfade_params,
+                                     define_fft_len)
+    from magphase_tpu.vocoder.compressed import \
+        get_num_full_mel_coeffs_from_num_phase_coeffs
+
+    fs = FS
+    wavs = sorted(glob.glob(
+        "/root/reference/demos/data_48k/wavs_nat/*.wav"))
+    signals = [read_wav(w)[0] for w in wavs]
+    batch_sigs = [signals[i % len(signals)] for i in range(batch)]
+    audio_s = sum(len(s) for s in batch_sigs) / fs
+    fft_len = define_fft_len(fs)
+
+    groups = ab._split_for_budget(batch_sigs, fs, fft_len, None)
+    print(f"B={batch} ({audio_s:.1f} audio-s) -> {len(groups)} group(s)",
+          flush=True)
+    group = groups[0]
+    g_audio = sum(len(s) for s in group) / fs
+    _, dev, S, Tmax, m_max, n_real = ab._device_signal_batch(
+        group, fs, None, fft_len=fft_len)
+    sigs_d, n_sigs_d, n_frames_d = dev
+
+    @functools.partial(jax.jit, static_argnames=("iters", "fs",
+                                                 "n_frames_max", "m_max"))
+    def loop_p1(sigs, n_sigs, n_frames, *, iters, fs, n_frames_max, m_max):
+        def body(acc, i):
+            # vary one sample per iteration: defeats loop-invariant
+            # hoisting without changing the workload
+            marks, flags, n_marks = ab._track_place_kernel.__wrapped__(
+                sigs.at[0, 0].set(i.astype(sigs.dtype)), n_sigs, n_frames,
+                fs=fs, n_frames_max=n_frames_max, m_max=m_max)
+            return acc + jnp.sum(n_marks) + jnp.sum(marks[:, ::128]), None
+        acc, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(iters))
+        return acc
+
+    times = {}
+    for iters in (1, 9, 1, 9):
+        t0 = time.perf_counter()
+        v = int(jax.device_get(loop_p1(
+            sigs_d, n_sigs_d, n_frames_d, iters=iters, fs=fs,
+            n_frames_max=Tmax, m_max=m_max)))
+        times.setdefault(iters, []).append(time.perf_counter() - t0)
+    p1 = (min(times[9]) - min(times[1])) / 8.0
+    print(f"phase1 (track+place): {p1*1e3:.1f} ms "
+          f"-> {g_audio/p1:.1f} audio-s/s", flush=True)
+
+    # realised marks for phase 2
+    marks, flags, n_marks = ab._track_place_kernel(
+        sigs_d, n_sigs_d, n_frames_d, fs=fs, n_frames_max=Tmax,
+        m_max=m_max)
+    nm = np.asarray(jax.device_get(n_marks))
+    Fa = min(m_max, ab.bucket_frames(int(nm.max())))
+    alpha = define_alpha(fs)
+    mag_dim_ph = get_num_full_mel_coeffs_from_num_phase_coeffs(
+        define_crossfade_params(fs)[0], 45, alpha, fs)
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def loop_p2(sigs, marks, flags, n_marks, n_sigs, *, iters):
+        def body(acc, i):
+            mml, mrm, mim, lf0, shift, n_valid = \
+                ab._analyze_compress_kernel.__wrapped__(
+                    sigs.at[0, 0].set(i.astype(sigs.dtype)), marks, flags,
+                    n_marks, n_sigs, fs=fs, fft_len=fft_len, F=Fa, mag_dim=60,
+                    phase_dim=45, mag_dim_ph=mag_dim_ph, alpha=alpha,
+                    alpha_phase=alpha, fc_max=0)
+            return acc + jnp.sum(mml[:, ::64, 0]), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(iters))
+        return acc
+
+    times = {}
+    for iters in (1, 9, 1, 9):
+        t0 = time.perf_counter()
+        v = float(jax.device_get(loop_p2(
+            sigs_d, marks, flags, n_marks, n_sigs_d, iters=iters)))
+        times.setdefault(iters, []).append(time.perf_counter() - t0)
+    p2 = (min(times[9]) - min(times[1])) / 8.0
+    print(f"phase2 (analyse+compress, F={Fa}): {p2*1e3:.1f} ms "
+          f"-> {g_audio/p2:.1f} audio-s/s", flush=True)
+    print(f"per-group total {1e3*(p1+p2):.1f} ms -> "
+          f"{g_audio/(p1+p2):.1f} audio-s/s device", flush=True)
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "analysis":
+        bench_analysis_phases(int(sys.argv[2]) if len(sys.argv) > 2 else 24)
+        return
     fft_len = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     import jax
