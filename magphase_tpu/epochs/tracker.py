@@ -98,16 +98,32 @@ def _fft_conv_same(x: jnp.ndarray, h: np.ndarray) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnames=("fs",))
 def _preprocess(sig: jnp.ndarray, *, fs: int):
     """High-pass 80 Hz, decimate to FS_ANALYSIS; also a low-passed (800 Hz)
-    copy at the original rate for epoch snapping."""
+    copy at the original rate for epoch snapping.
+
+    One shared forward FFT of the mean-removed signal; the three FIR
+    responses are composed in the frequency domain (precomputed host-side
+    at trace time), so the program runs 1 rfft + 2 irfft instead of 3+3 —
+    the preprocess was ~40% of phase-1 device time."""
     x = sig - jnp.mean(sig)
-    x = _fft_conv_same(x, _fir_highpass(80.0, fs))
+    n = x.shape[0]
     fs_a, dec = analysis_rate(fs)
+    h_hp = _fir_highpass(80.0, fs)
+    h_snap = _fir_lowpass(800.0, fs)
+    taps = len(h_hp)
+    # nfft covers the two-stage composite response (2*taps) without wrap
+    nfft = 1 << int(np.ceil(np.log2(n + 2 * taps)))
+    off = (taps - 1) // 2
+    X = jnp.fft.rfft(x, n=nfft)
+    Hs = np.fft.rfft(h_snap, n=nfft).astype(np.complex64)
     if dec > 1:
-        xl = _fft_conv_same(x, _fir_lowpass(0.45 * fs_a, fs))
-        xa = xl[::dec]
+        h_lp = _fir_lowpass(0.45 * fs_a, fs)
+        Ha = (np.fft.rfft(h_hp, n=nfft)
+              * np.fft.rfft(h_lp, n=nfft)).astype(np.complex64)
+        xa = jnp.fft.irfft(X * Ha, n=nfft)[2 * off:2 * off + n][::dec]
     else:
-        xa = x
-    y_snap = _fft_conv_same(sig - jnp.mean(sig), _fir_lowpass(800.0, fs))
+        Ha = np.fft.rfft(h_hp, n=nfft).astype(np.complex64)
+        xa = jnp.fft.irfft(X * Ha, n=nfft)[off:off + n]
+    y_snap = jnp.fft.irfft(X * Hs, n=nfft)[off:off + n]
     return xa, y_snap
 
 
