@@ -52,23 +52,22 @@ def _half_profile(t, fam: int):
 # frames kernel
 
 def _frames_kernel(pm_ref, L_ref, R_ref, voi_ref, nfrms_ref, sig_ref,
-                   out_ref, *, fft_len: int, fam_voiced: int,
+                   out_ref, rot_ref, *, fft_len: int, fam_voiced: int,
                    fam_unvoiced: int):
     b = pl.program_id(0)
     ft = pl.program_id(1)
     N = fft_len
 
-    p = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+    p1 = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
 
+    # pass 1 — per-frame aligned loads + lane rotations into a
+    # (TILE_F, N) scratch.  tpu.dynamic_rotate only handles power-of-two
+    # lane widths, so the A/B slices each use their own 2N-wide aligned
+    # window + roll.
     for j in range(TILE_F):
         f = ft * TILE_F + j
         pm = pm_ref[b, f]
         L = L_ref[b, f]
-        R = R_ref[b, f]
-        valid = f < nfrms_ref[b]
-
-        # tpu.dynamic_rotate only handles power-of-two lane widths, so the
-        # A/B slices each use their own 2N-wide aligned window + roll
         start_a = (N + LANE) + pm             # slice-A start in sigx
         base_a = pl.multiple_of((start_a // LANE) * LANE, LANE)
         base_b = pl.multiple_of(base_a - N, LANE)
@@ -76,25 +75,37 @@ def _frames_kernel(pm_ref, L_ref, R_ref, voi_ref, nfrms_ref, sig_ref,
         Wa = pltpu.roll(sig_ref[0, :, pl.ds(base_a, 2 * N)], -r, 1)
         Wb = pltpu.roll(sig_ref[0, :, pl.ds(base_b, 2 * N)], -r, 1)
         # Wa[p] = sigx[start_a + p];  Wb[p] = sigx[start_a - N + p]
-        rotated = jnp.where(p < N - L, Wa[:, :N], Wb[:, :N])
+        rot_ref[j, :] = jnp.where(p1 < N - L, Wa[:, :N], Wb[:, :N])[0]
 
-        q = jnp.where(p < N - L, p + L, p + L - N).astype(jnp.float32)
-        Lf = L.astype(jnp.float32)
-        Rf = R.astype(jnp.float32)
-        t_left = jnp.where(Lf > 0, q / jnp.maximum(Lf, 1.0), 1.0)
-        t_right = jnp.where(Rf > 0, (Lf + Rf - q) / jnp.maximum(Rf, 1.0),
-                            1.0)
-        t = jnp.where(q <= Lf, t_left, t_right)
+    # pass 2 — window computation vectorised over the whole (TILE_F, N)
+    # tile: the transcendental-heavy profile math runs at full sublane
+    # occupancy instead of 1/8 on (1, N) slices
+    def col(ref):
+        return jnp.stack([ref[b, ft * TILE_F + j]
+                          for j in range(TILE_F)]).reshape(TILE_F, 1)
 
-        if fam_voiced == fam_unvoiced:
-            win = _half_profile(t, fam_voiced)
-        else:
-            is_voi = voi_ref[b, f] > 0
-            win = jnp.where(is_voi, _half_profile(t, fam_voiced),
-                            _half_profile(t, fam_unvoiced))
+    L2 = col(L_ref)
+    R2 = col(R_ref).astype(jnp.float32)
+    fidx = jax.lax.broadcasted_iota(jnp.int32, (TILE_F, 1), 0) \
+        + ft * TILE_F
+    valid = fidx < nfrms_ref[b]
 
-        in_frame = (q < (Lf + Rf + 1.0)) & valid
-        out_ref[:, j, :] = jnp.where(in_frame, rotated * win, 0.0)
+    p = jax.lax.broadcasted_iota(jnp.int32, (TILE_F, N), 1)
+    q = jnp.where(p < N - L2, p + L2, p + L2 - N).astype(jnp.float32)
+    Lf = L2.astype(jnp.float32)
+    t_left = jnp.where(Lf > 0, q / jnp.maximum(Lf, 1.0), 1.0)
+    t_right = jnp.where(R2 > 0, (Lf + R2 - q) / jnp.maximum(R2, 1.0), 1.0)
+    t = jnp.where(q <= Lf, t_left, t_right)
+
+    if fam_voiced == fam_unvoiced:
+        win = _half_profile(t, fam_voiced)
+    else:
+        is_voi = col(voi_ref) > 0
+        win = jnp.where(is_voi, _half_profile(t, fam_voiced),
+                        _half_profile(t, fam_unvoiced))
+
+    in_frame = (q < (Lf + R2 + 1.0)) & valid
+    out_ref[0, :, :] = jnp.where(in_frame, rot_ref[...] * win, 0.0)
 
 
 def _chunked_over_batch(call, b_max: int, *arrays):
@@ -162,6 +173,7 @@ def _frames_pallas_call(sigx, pm, L, R, voi, nfrms, *, fft_len: int,
         out_specs=pl.BlockSpec((1, TILE_F, fft_len),
                                lambda b, ft, *_: (b, ft, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((TILE_F, fft_len), jnp.float32)],
     )
     kern = functools.partial(_frames_kernel, fft_len=fft_len,
                              fam_voiced=fam_voiced,
