@@ -273,10 +273,10 @@ def synthesis_core_batch(m_mag, m_real, m_imag, v_voi, pm, shifts, nfrms,
     unv = (~v_voi.astype(bool)) & valid
 
     # --- periodic/aperiodic mask (872-875): voiced rows get the crossfade
+    # (applied further down as per-bin gains selected by voicing)
     crsf_cf, crsf_bw = define_crossfade_params(fs)
     w_down = jnp.asarray(crossfade_down_win_np(crsf_cf, crsf_bw, fs, h),
                          dtype)
-    m_mask_per = jnp.where(voi[..., None], w_down[None, None, :], 0.0)
 
     # --- noise generation + pitch-sync windowing (877-897)
     v_ns = jax.vmap(lambda k: jax.random.uniform(
@@ -325,12 +325,14 @@ def synthesis_core_batch(m_mag, m_real, m_imag, v_voi, pm, shifts, nfrms,
     m_per = jnp.where(voi[..., None], m_per * v_line_voi[None, None, :],
                       m_per)
 
-    # --- apply masks with sqrt + zero protection (944-952)
-    crsf_curve_fact = 0.5
-    m_per = m_per * (m_mask_per ** crsf_curve_fact)
-    m_ap = m_ap * ((1.0 - m_mask_per) ** crsf_curve_fact)
-    m_per = jnp.where(m_mask_per == 0.0, 0.0, m_per)
-    m_ap = jnp.where(m_mask_per == 1.0, 0.0, m_ap)
+    # --- apply masks with sqrt + zero protection (944-952).  The mask is
+    # w_down per voiced frame and 0 per unvoiced frame, so mask**0.5 and
+    # its protections reduce to PER-BIN constant gains selected by
+    # voicing — avoiding two full-size (B, F, h) pow passes
+    per_gain = jnp.where(w_down > 0.0, jnp.sqrt(w_down), 0.0)
+    ap_gain = jnp.where(w_down < 1.0, jnp.sqrt(1.0 - w_down), 0.0)
+    m_per = jnp.where(voi[..., None], m_per * per_gain[None, None, :], 0.0)
+    m_ap = jnp.where(voi[..., None], m_ap * ap_gain[None, None, :], m_ap)
 
     # --- sum + DC/Nyquist protection (954-961)
     m_syn = m_per + m_ap
