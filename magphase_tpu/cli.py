@@ -171,7 +171,7 @@ def cmd_generate(args) -> int:
     _distributed_setup()   # before ANY other jax call
     import jax
     import numpy as np
-    from .io import read_scp_file, mkdir, read_binfile, write_audio_file
+    from .io import read_scp_file, mkdir, read_binfile
     from .parallel.batch import synthesis_from_compressed_batch
     from .utils.corpus import run_corpus, run_corpus_batched
     from .utils.metrics import setup_logging
@@ -216,16 +216,20 @@ def cmd_generate(args) -> int:
                 read_binfile(os.path.join(d, tok + ".lf0"), 1)))
         key, sub = jax.random.split(key)
         # async dispatch: the runner keeps two chunks in flight so the
-        # next chunk's feature reads + upload overlap this one's device time
+        # next chunk's feature reads + upload overlap this one's device
+        # time.  pcm16: peak-norm + quantise on device — the (dominant)
+        # waveform download halves and the host writes raw frames
+        from .io.wav import write_wav_pcm16
         bufs, lens = synthesis_from_compressed_batch(
             utts, args.fs, pf_type=args.pf_type, key=sub,
-            b_out_hpf=not args.no_hpf, block_result=False, mesh=mesh)
+            b_out_hpf=not args.no_hpf, block_result=False, mesh=mesh,
+            pcm16=True)
 
         def finalize():
             host = jax.device_get(bufs)
             for tok, buf, n in zip(chunk, host, lens):
-                write_audio_file(os.path.join(args.out_dir, tok + ".wav"),
-                                 np.asarray(buf[:n], np.float64), args.fs)
+                write_wav_pcm16(os.path.join(args.out_dir, tok + ".wav"),
+                                buf[:n], args.fs)
             return [n / args.fs for n in lens[:len(chunk)]]
 
         return finalize

@@ -150,6 +150,21 @@ def write_wav(path: str, sig: np.ndarray, fs: int, subtype: str = "PCM_16") -> N
         f.write(hdr + raw)
 
 
+def write_wav_pcm16(path: str, pcm: np.ndarray, fs: int) -> None:
+    """Write already-quantised int16 mono samples as a PCM16 WAV.
+
+    Counterpart of the device-side peak-norm + quantise kernel
+    (parallel.batch._pcm16_kernel): the host only writes raw frames."""
+    raw = np.ascontiguousarray(pcm, "<i2").tobytes()
+    block_align = 2
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(raw)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, _WAVE_FORMAT_PCM, 1, fs,
+                                 fs * block_align, block_align, 16)
+    hdr += b"data" + struct.pack("<I", len(raw))
+    with open(path, "wb") as f:
+        f.write(hdr + raw)
+
+
 def write_audio_file(path: str, sig: np.ndarray, fs: int,
                      norm: float | None = 0.98) -> None:
     """Peak-normalising wav writer (libaudio.py:352-365 semantics)."""

@@ -79,6 +79,23 @@ def _fused_batch_kernel(feats, voi, pm, shifts, nfrms, ns_len, key, *,
     return bufs
 
 
+@functools.partial(jax.jit, static_argnames=("norm",))
+def _pcm16_kernel(bufs, lens, *, norm: float = 0.98):
+    """Device-side peak-normalised PCM16 encode of (B, O) OLA buffers.
+
+    Matches write_audio_file + write_wav exactly (io/wav.py:132-134,
+    153-161): peak over the per-utterance valid length, scale to ``norm``,
+    round-to-nearest, clip — so only 2-byte samples cross the host link
+    and the host writes raw frames."""
+    B, O = bufs.shape
+    mask = jnp.arange(O)[None, :] < lens[:, None]
+    x = jnp.where(mask, bufs, 0.0)
+    peak = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+    x = x * jnp.where(peak > 0, norm / jnp.maximum(peak, 1e-30), 1.0)
+    q = jnp.clip(jnp.rint(x * 32768.0), -32768, 32767)
+    return q.astype(jnp.int16)
+
+
 def synthesis_from_compressed_batch(utts, fs: int,
                                     fft_len: int | None = None,
                                     b_voi_ap_win: bool = True,
@@ -87,12 +104,18 @@ def synthesis_from_compressed_batch(utts, fs: int,
                                     b_out_hpf: bool = True,
                                     pf_type: str = "no",
                                     key=None, mesh=None,
-                                    block_result: bool = True):
+                                    block_result: bool = True,
+                                    pcm16: bool = False):
     """Batch synthesis from compressed features.
 
     utts: list of (m_mag_mel_log, m_real_mel, m_imag_mel, v_lf0) numpy
     tuples.  Returns list of float64 waveforms (or device buffers + lengths
     when ``block_result`` is False, for benchmarking).
+
+    ``pcm16`` (requires ``block_result=False``): buffers are
+    peak-normalised and quantised to int16 ON DEVICE (see _pcm16_kernel),
+    halving the dominant waveform download of corpus generation; write
+    rows with io.wav.write_wav_pcm16.
     """
     alpha = define_alpha(fs)
     if fft_len is None:
@@ -131,7 +154,7 @@ def synthesis_from_compressed_batch(utts, fs: int,
                 b_voi_ap_win=b_voi_ap_win, per_phase_type=per_phase_type,
                 alpha_phase=alpha_phase, b_out_hpf=b_out_hpf,
                 pf_type=pf_type, key=sub, mesh=mesh,
-                block_result=block_result)
+                block_result=block_result, pcm16=pcm16)
             if block_result:
                 out.extend(r)
             else:
@@ -199,6 +222,10 @@ def synthesis_from_compressed_batch(utts, fs: int,
         per_phase_type=per_phase_type, out_len_max=O, ns_len_max=NS,
         b_out_hpf=b_out_hpf, pf_type=pf_type)
 
+    if pcm16:
+        assert not block_result, "pcm16 is a device transfer encoding"
+        bufs = _pcm16_kernel(bufs, jnp.asarray(np.asarray(out_lens,
+                                                          np.int32)))
     if not block_result:
         return bufs, out_lens[:n_real]
     bufs = jax.device_get(bufs)
