@@ -1,0 +1,78 @@
+"""Host-link transfer encodings and the adaptive synthesis FFT rule."""
+import numpy as np
+import jax
+import pytest
+
+from magphase_tpu.vocoder.compressed import (max_pitch_sync_framelen,
+                                             synthesis_fft_len)
+
+
+def test_max_pitch_sync_framelen():
+    # L[f]=shift[f], R[f]=shift[f+1]; last frame doubles its own shift
+    assert max_pitch_sync_framelen(np.array([240, 240, 240])) == 481
+    assert max_pitch_sync_framelen(np.array([100, 900, 100])) == 1001
+    assert max_pitch_sync_framelen(np.array([100, 100, 900])) == 1801
+    assert max_pitch_sync_framelen(np.array([300])) == 601
+
+
+def test_synthesis_fft_len_rule(monkeypatch):
+    monkeypatch.delenv("MAGPHASE_SYNTH_FULL_FFT", raising=False)
+    assert synthesis_fft_len(4096, 481) == 1024
+    assert synthesis_fft_len(4096, 1024) == 1024
+    assert synthesis_fft_len(4096, 1025) == 2048
+    assert synthesis_fft_len(4096, 2048) == 2048
+    assert synthesis_fft_len(4096, 2049) == 4096
+    assert synthesis_fft_len(2048, 481) == 1024     # 16 kHz nominal
+    # floor: never below 1024 even for tiny frames
+    assert synthesis_fft_len(4096, 3) == 1024
+    # opt-out
+    monkeypatch.setenv("MAGPHASE_SYNTH_FULL_FFT", "1")
+    assert synthesis_fft_len(4096, 481) == 4096
+
+
+def test_pcm16_kernel_matches_host_writer(tmp_path):
+    """Device peak-norm + quantise == write_audio_file -> write_wav, and
+    write_wav_pcm16 round-trips through the reader bit-exactly."""
+    from magphase_tpu.io.wav import (read_wav, write_audio_file,
+                                     write_wav_pcm16)
+    from magphase_tpu.parallel.batch import _pcm16_kernel
+
+    rng = np.random.RandomState(0)
+    n = 4001
+    sig = (rng.randn(n) * 0.21).astype(np.float32)
+    bufs = np.zeros((2, 4608), np.float32)
+    bufs[0, :n] = sig
+    bufs[1, :100] = 0.0                      # silent row: no normalisation
+    lens = np.asarray([n, 100], np.int32)
+
+    pcm = np.asarray(_pcm16_kernel(bufs, lens))
+    assert pcm.dtype == np.int16
+
+    write_wav_pcm16(str(tmp_path / "dev.wav"), pcm[0][:n], 48000)
+    write_audio_file(str(tmp_path / "host.wav"),
+                     np.asarray(sig, np.float64), 48000)
+    a, fs = read_wav(str(tmp_path / "dev.wav"))
+    b, _ = read_wav(str(tmp_path / "host.wav"))
+    assert fs == 48000 and len(a) == len(b) == n
+    # float32 vs float64 normalisation: at most one rint boundary LSB
+    assert np.max(np.abs(a - b)) * 32768.0 <= 1.0 + 1e-6
+    assert np.max(np.abs(a)) == pytest.approx(0.98, abs=2e-4)
+    assert np.all(pcm[1] == 0)
+
+
+def test_int16_signal_rows_roundtrip():
+    """assemble_signal_rows int16 packing is exact for PCM16 signals and
+    falls back to float32 otherwise."""
+    from magphase_tpu.parallel.analysis_batch import (_sigs_f32,
+                                                      assemble_signal_rows)
+    import jax.numpy as jnp
+
+    k = np.arange(-32768, 32768, 97, np.int64)
+    sig = (k / 32768.0).astype(np.float64)
+    rows = assemble_signal_rows([sig, sig[:100]], 2, len(sig))
+    assert rows.dtype == np.int16
+    back = np.asarray(_sigs_f32(jnp.asarray(rows)))
+    np.testing.assert_array_equal(back[0], sig.astype(np.float32))
+
+    rows = assemble_signal_rows([sig + 1e-9], 1, len(sig))
+    assert rows.dtype == np.float32
