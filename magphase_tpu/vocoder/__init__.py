@@ -7,7 +7,8 @@ from .compressed import (analysis_compressed, analysis_for_acoustic_modelling,
                          synthesis_from_acoustic_modelling,
                          phase_uncompress_type1_mcep,
                          get_num_full_mel_coeffs_from_num_phase_coeffs)
-from .postfilter import post_filter, post_filter_merlin
+from .postfilter import (post_filter, post_filter_merlin, post_filter_dev,
+                         post_filter_backup_old)
 from .variants import (analysis_compressed_type1, analysis_compressed_type2,
                        analysis_lossless_type2, compute_imag_from_real,
                        phase_uncompress_type1, phase_uncompress_fbank,
@@ -35,5 +36,6 @@ __all__ = [
     "format_for_modelling", "synthesis_from_compressed",
     "synthesis_from_acoustic_modelling", "phase_uncompress_type1_mcep",
     "get_num_full_mel_coeffs_from_num_phase_coeffs",
-    "post_filter", "post_filter_merlin", "framerate",
+    "post_filter", "post_filter_merlin", "post_filter_dev",
+    "post_filter_backup_old", "framerate",
 ]

@@ -86,6 +86,45 @@ def post_filter(m_mag_mel_log, fs: int, av_len_at_zero: int | None = None,
     return m_enh
 
 
+def post_filter_dev(m_mag_mel_log, fs: int, av_len_at_zero: int | None = None,
+                    av_len_at_nyq: int | None = None,
+                    boost_at_zero: float | None = None,
+                    boost_at_nyq: float | None = None):
+    """Dev copy of the MagPhase post-filter (magphase.py:2382-2468).
+
+    Identical defaults and body to ``post_filter``; additionally returns
+    the average-subtracted residual matrix (the reference's debug output,
+    magphase.py:2468 ``return m_mag_mel_log_enh, m_mag_mel_log_norm``).
+    """
+    m = jnp.asarray(m_mag_mel_log)
+    nfrms, mag_dim = m.shape
+    az, an, bz, bn = _pf_defaults(fs, mag_dim, av_len_at_zero, av_len_at_nyq,
+                                  boost_at_zero, boost_at_nyq)
+    A = jnp.asarray(_avg_matrix_np(mag_dim, az, an), m.dtype)
+    m_ave = jnp.matmul(m, A.T, precision="highest")
+    m_norm = m - m_ave
+    v_tilt = jnp.asarray(np.linspace(bz, bn, mag_dim), m.dtype)
+    m_enh = m_norm * v_tilt[None, :] + m_ave
+    m_enh = m_enh.at[:, 0].set(m[:, 0]).at[:, -1].set(m[:, -1])
+    return m_enh, m_norm
+
+
+def post_filter_backup_old(m_mag_mel_log) -> jnp.ndarray:
+    """Oldest post-filter revision (magphase.py:2254-2297): fixed
+    11->3-bin average lengths (scaled by ncoeffs/60) and a hard-coded
+    linspace(2, 6) boost tilt, with no sample-rate keying."""
+    m = jnp.asarray(m_mag_mel_log)
+    nfrms, mag_dim = m.shape
+    az = int(np.round(11.0 * mag_dim / 60.0))
+    an = int(np.round(3.0 * mag_dim / 60.0))
+    A = jnp.asarray(_avg_matrix_np(mag_dim, az, an), m.dtype)
+    m_ave = jnp.matmul(m, A.T, precision="highest")
+    v_tilt = jnp.asarray(np.linspace(2.0, 6.0, mag_dim), m.dtype)
+    m_enh = (m - m_ave) * v_tilt[None, :] + m_ave
+    m_enh = m_enh.at[:, 0].set(m[:, 0]).at[:, -1].set(m[:, -1])
+    return m_enh
+
+
 def post_filter_merlin(m_mag_mel_log, fs: int,
                        pf_coef: float = 1.4) -> jnp.ndarray:
     """Merlin cepstral post-filter (magphase.py:3375-3465) as pure JAX.

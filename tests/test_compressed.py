@@ -81,6 +81,57 @@ def test_post_filter_reference_oracle(predicted_params):
     np.testing.assert_allclose(got, oracle, atol=1e-4)
 
 
+def _np_pf_loop(mag, az, an, tilt_z, tilt_n):
+    """Direct port of the shared moving-average post-filter loop body
+    (magphase.py:2343-2376 / 2425-2466 / 2264-2296)."""
+    nfrms, mag_dim = mag.shape
+    v_nx = np.arange(az // 2, mag_dim - an // 2)
+    v_lens = np.linspace(az, an, v_nx.size)
+    v_lens = (2 * np.ceil(v_lens / 2) - 1).astype(int)
+    enh_m = np.zeros_like(mag)
+    norm_m = np.zeros_like(mag)
+    for f in range(nfrms):
+        v = mag[f]
+        v_ave = np.zeros(mag_dim)
+        for nxb in v_nx:
+            half = v_lens[nxb - v_nx[0]] // 2
+            v_ave[nxb] = np.mean(v[nxb - half:nxb + half + 1])
+        v_ave[:v_nx[0]] = v_ave[v_nx[0]]
+        v_ave[v_nx[-1]:] = v_ave[v_nx[-1]]
+        tilt = np.linspace(tilt_z, tilt_n, mag_dim)
+        norm_m[f] = v - v_ave
+        enh = norm_m[f] * tilt + v_ave
+        enh[0], enh[-1] = v[0], v[-1]
+        enh_m[f] = enh
+    return enh_m, norm_m
+
+
+def test_post_filter_dev_oracle(predicted_params):
+    """post_filter_dev (magphase.py:2382-2468): same body as post_filter
+    plus the residual debug output."""
+    from magphase_tpu.vocoder import post_filter_dev
+    mag = predicted_params[0][:40]
+    got_enh, got_norm = post_filter_dev(jnp.asarray(mag), 48000)
+    exp_enh, exp_norm = _np_pf_loop(mag, 11, 3, 1.8, 2.0)
+    np.testing.assert_allclose(np.asarray(got_enh), exp_enh, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_norm), exp_norm, atol=1e-4)
+    # dev defaults match post_filter's at both tuned sample rates
+    got16, _ = post_filter_dev(jnp.asarray(mag), 16000)
+    np.testing.assert_allclose(np.asarray(got16),
+                               np.asarray(post_filter(jnp.asarray(mag),
+                                                      16000)), atol=1e-5)
+
+
+def test_post_filter_backup_old_oracle(predicted_params):
+    """post_filter_backup_old (magphase.py:2254-2297): fixed 11->3
+    averaging, linspace(2, 6) boost."""
+    from magphase_tpu.vocoder import post_filter_backup_old
+    mag = predicted_params[0][:40]
+    got = np.asarray(post_filter_backup_old(jnp.asarray(mag)))
+    exp, _ = _np_pf_loop(mag, 11, 3, 2.0, 6.0)
+    np.testing.assert_allclose(got, exp, atol=1e-4)
+
+
 def test_post_filter_merlin_runs_and_preserves_scale(predicted_params):
     mag = predicted_params[0][:60]
     out = np.asarray(post_filter_merlin(jnp.asarray(mag, jnp.float32), 48000))
