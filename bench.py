@@ -155,6 +155,17 @@ def worker_synth_device():
     print(json.dumps({"value": audio_s / per_iter}))
 
 
+def worker_analysis_device():
+    """Pure device throughput of the two analysis phases (track+place,
+    analyse+compress) via the contention-immune scan-loop method — the
+    serving-relevant number when signals already live on device."""
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tools"))
+    from device_bench import bench_analysis_phases
+
+    print(json.dumps({"value": bench_analysis_phases(batch=24)}))
+
+
 def worker_analysis():
     """Steady-state wav->features throughput of the async two-phase
     pipeline (upload + device + feature download, end to end)."""
@@ -200,6 +211,7 @@ def main():
     synth = _run_worker("synth", WORKER_REPS)
     synth_dev = _run_worker("synth_device", 1)  # contention-immune
     analysis = _run_worker("analysis", 1)       # 3 reps internally
+    analysis_dev = _run_worker("analysis_device", 1)  # contention-immune
 
     print(json.dumps({
         "metric": "compressed_vocoding_throughput_1chip",
@@ -212,6 +224,8 @@ def main():
         "analysis_metric": "compressed_analysis_throughput_1chip",
         "analysis_value": round(analysis, 2),
         "analysis_unit": "audio_s_per_s",
+        "analysis_device_metric": "compressed_analysis_device_throughput_1chip",
+        "analysis_device_value": round(analysis_dev, 2),
         "checks": "ok",
     }))
 
@@ -219,6 +233,7 @@ def main():
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--worker":
         {"synth": worker_synth, "synth_device": worker_synth_device,
-         "analysis": worker_analysis}[sys.argv[2]]()
+         "analysis": worker_analysis,
+         "analysis_device": worker_analysis_device}[sys.argv[2]]()
     else:
         main()

@@ -198,6 +198,7 @@ def bench_analysis_phases(batch=24):
           f"-> {g_audio/p2:.1f} audio-s/s", flush=True)
     print(f"per-group total {1e3*(p1+p2):.1f} ms -> "
           f"{g_audio/(p1+p2):.1f} audio-s/s device", flush=True)
+    return g_audio / (p1 + p2)
 
 
 def main():
