@@ -201,7 +201,78 @@ def bench_analysis_phases(batch=24):
     return g_audio / (p1 + p2)
 
 
+def bench_phase1_breakdown(batch=24):
+    """Split phase-1 device time into track (preprocess+NCCF+Viterbi)
+    vs the epoch walk, by timing _track_batch_kernel (no walk) and
+    _track_place_kernel (track + walk) with the same scan-loop method."""
+    import functools
+    import glob
+    import jax
+    import jax.numpy as jnp
+    from magphase_tpu.io import read_wav
+    from magphase_tpu.parallel import analysis_batch as ab
+    from magphase_tpu.config import define_fft_len
+
+    fs = FS
+    wavs = sorted(glob.glob(
+        "/root/reference/demos/data_48k/wavs_nat/*.wav"))
+    signals = [read_wav(w)[0] for w in wavs]
+    batch_sigs = [signals[i % len(signals)] for i in range(batch)]
+    group = ab._split_for_budget(batch_sigs, fs, define_fft_len(fs),
+                                 None)[0]
+    g_audio = sum(len(s) for s in group) / fs
+    _, dev, S, Tmax, m_max, n_real = ab._device_signal_batch(
+        group, fs, None, fft_len=define_fft_len(fs))
+    sigs_d, n_sigs_d, n_frames_d = dev
+
+    @functools.partial(jax.jit, static_argnames=("iters", "fs",
+                                                 "n_frames_max"))
+    def loop_track(sigs, n_frames, *, iters, fs, n_frames_max):
+        def body(acc, i):
+            states, vals, lags, y_snap = ab._track_batch_kernel.__wrapped__(
+                sigs.at[0, 0].set(i.astype(sigs.dtype)), n_frames,
+                fs=fs, n_frames_max=n_frames_max)
+            return acc + jnp.sum(states[:, ::64]) + \
+                jnp.sum(y_snap[:, ::4096]), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(iters))
+        return acc
+
+    def timed(fn):
+        times = {}
+        for iters in (1, 9, 1, 9):
+            t0 = time.perf_counter()
+            jax.device_get(fn(iters))
+            times.setdefault(iters, []).append(time.perf_counter() - t0)
+        return (min(times[9]) - min(times[1])) / 8.0
+
+    t_track = timed(lambda it: loop_track(
+        sigs_d.astype(jnp.float32), n_frames_d, iters=it, fs=fs,
+        n_frames_max=Tmax))
+    print(f"track only:   {t_track*1e3:6.1f} ms "
+          f"({g_audio/t_track:7.1f} audio-s/s)", flush=True)
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def loop_full(sigs, n_sigs, n_frames, *, iters):
+        def body(acc, i):
+            marks, flags, n_marks = ab._track_place_kernel.__wrapped__(
+                sigs.at[0, 0].set(i.astype(sigs.dtype)), n_sigs, n_frames,
+                fs=fs, n_frames_max=Tmax, m_max=m_max)
+            return acc + jnp.sum(n_marks) + jnp.sum(marks[:, ::128]), None
+        acc, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(iters))
+        return acc
+
+    t_full = timed(lambda it: loop_full(sigs_d, n_sigs_d, n_frames_d,
+                                        iters=it))
+    print(f"track+walk:   {t_full*1e3:6.1f} ms "
+          f"({g_audio/t_full:7.1f} audio-s/s)", flush=True)
+    print(f"walk (diff):  {(t_full-t_track)*1e3:6.1f} ms", flush=True)
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "phase1":
+        bench_phase1_breakdown(int(sys.argv[2]) if len(sys.argv) > 2
+                               else 24)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "analysis":
         bench_analysis_phases(int(sys.argv[2]) if len(sys.argv) > 2 else 24)
         return
