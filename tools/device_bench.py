@@ -251,6 +251,39 @@ def bench_phase1_breakdown(batch=24):
     print(f"track only:   {t_track*1e3:6.1f} ms "
           f"({g_audio/t_track:7.1f} audio-s/s)", flush=True)
 
+    from magphase_tpu.epochs import tracker as trk
+    fs_a = trk.analysis_rate(fs)[0]
+
+    def stage_loop(upto):
+        @functools.partial(jax.jit, static_argnames=("iters",))
+        def loop(sigs, n_frames, *, iters):
+            def body(acc, i):
+                def one(sig, nf):
+                    xa, y_snap = trk._preprocess(
+                        sig.at[0].set(i.astype(sig.dtype)), fs=fs)
+                    out = jnp.sum(xa[::4096]) + jnp.sum(y_snap[::4096])
+                    if upto >= 1:
+                        nccf, valid = trk._nccf(xa, nf, n_frames_max=Tmax,
+                                                fs_a=fs_a)
+                        vals, lags = trk._candidates(nccf)
+                        out = out + jnp.sum(vals[:, 0])
+                    if upto >= 2:
+                        states = trk._viterbi(vals, lags, valid, fs_a=fs_a)
+                        out = out + jnp.sum(states).astype(jnp.float32)
+                    return out
+                return acc + jnp.sum(jax.vmap(one)(sigs, n_frames)), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(iters))
+            return acc
+        return loop
+
+    sf = sigs_d.astype(jnp.float32)
+    t_pre = timed(lambda it: stage_loop(0)(sf, n_frames_d, iters=it))
+    t_nccf = timed(lambda it: stage_loop(1)(sf, n_frames_d, iters=it))
+    t_vit = timed(lambda it: stage_loop(2)(sf, n_frames_d, iters=it))
+    print(f"  preprocess: {t_pre*1e3:6.1f} ms", flush=True)
+    print(f"  nccf+cand:  {(t_nccf-t_pre)*1e3:6.1f} ms", flush=True)
+    print(f"  viterbi:    {(t_vit-t_nccf)*1e3:6.1f} ms", flush=True)
+
     @functools.partial(jax.jit, static_argnames=("iters",))
     def loop_full(sigs, n_sigs, n_frames, *, iters):
         def body(acc, i):
