@@ -19,7 +19,9 @@ import numpy as np
 from ..utils.padding import bucket
 from .tracker import FRAME_STEP_S, FS_ANALYSIS
 
-_WALK_UNROLL = 4          # walk-body copies per while_loop iteration
+_WALK_UNROLL = 8          # walk-body copies per while_loop iteration
+                          # (tools/walk_bench.py sweep on v5e: 2:13.0ms
+                          # 4:12.7 8:9.3 16:11.9 32:13.0 per 24-utt group)
 
 
 def _snap_win(fs: int) -> int:
