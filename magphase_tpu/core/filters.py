@@ -112,6 +112,20 @@ def _sos_impulse_response(sos, ntaps: int):
     return sp_signal.sosfilt(np.asarray(sos, np.float64), imp)
 
 
+@functools.lru_cache(maxsize=16)
+def _sos_ir_trimmed(sos, ntaps: int):
+    """Impulse response trimmed where it has decayed below 1e-10 of its
+    peak (rounded up to a 1024 multiple) — the vocoder high-pass poles decay
+    to that level in ~6-7k samples, and a shorter h means fewer
+    overlap-save blocks."""
+    h = _sos_impulse_response(sos, ntaps)
+    peak = np.abs(h).max()
+    sig = np.nonzero(np.abs(h) > 1e-8 * peak)[0]
+    m = int(sig[-1]) + 1 if sig.size else 1
+    m = min(ntaps, -(-m // 1024) * 1024)
+    return h[:m]
+
+
 def sosfilt(sos, x: jnp.ndarray, ntaps: int = 16384) -> jnp.ndarray:
     """Cascaded-biquad IIR filter (scipy.signal.sosfilt semantics, zero
     initial state) as FFT convolution with the exact truncated impulse
@@ -121,16 +135,32 @@ def sosfilt(sos, x: jnp.ndarray, ntaps: int = 16384) -> jnp.ndarray:
     catastrophically unstable in float32 when poles sit near the unit
     circle (the 40 Hz/48 kHz high-pass of magphase.py:990-995 overflows
     within ~2k samples), so the IIR is evaluated in its equivalent FIR
-    form instead: h is computed exactly in float64 host-side, and the
-    causal convolution runs as one rfft·irfft on device — fully parallel,
-    no scan.  For the vocoder's high-pass filters the truncation tail is
-    < 1e-12 of peak (pole radius ~0.996 -> |h| decays below 1e-30 well
-    before 16384 taps), far below PCM16 resolution."""
+    form instead: h is computed exactly in float64 host-side (trimmed
+    where it has decayed below 1e-8 of peak — the truncation tail sums to
+    ~4e-6, an order below one PCM16 step), and the causal convolution runs
+    on device as either ONE whole-signal rfft·irfft or overlap-save
+    blocked FFTs, whichever needs fewer FFT points: the 2^k round-up of
+    the whole-signal form wastes up to 2x for unlucky lengths, where
+    blocked 32k-sample sections (~1.28x points at this h length, plus
+    better batched-FFT efficiency) win; at lucky lengths the whole-signal
+    form is tighter and skips the overlapped-block materialisation."""
     n = x.shape[0]
-    h = _sos_impulse_response(tuple(map(tuple, sos)), ntaps)
-    L = 1
-    while L < n + ntaps:
-        L <<= 1
-    X = jnp.fft.rfft(x, n=L)
-    H = jnp.fft.rfft(jnp.asarray(h, x.dtype), n=L)
-    return jnp.fft.irfft(X * H, n=L)[:n].astype(x.dtype)
+    h = _sos_ir_trimmed(tuple(map(tuple, sos)), ntaps)
+    m = len(h)
+    cdtype = (np.complex64 if x.dtype == jnp.float32 else np.complex128)
+    whole_pts = 1 << int(np.ceil(np.log2(n + m)))
+    nblk = 1 << int(np.ceil(np.log2(max(4 * m, min(n + m, 32768)))))
+    L = nblk - (m - 1)
+    nblocks = -(-n // L)
+    if whole_pts <= 1.1 * nblocks * nblk:
+        X = jnp.fft.rfft(x, n=whole_pts)
+        H = np.fft.rfft(h, n=whole_pts).astype(cdtype)
+        return jnp.fft.irfft(X * H, n=whole_pts)[:n].astype(x.dtype)
+    ph = m - 1
+    xp = jnp.concatenate([jnp.zeros(ph, x.dtype), x,
+                          jnp.zeros(nblocks * L + nblk, x.dtype)])
+    idx = (jnp.arange(nblocks) * L)[:, None] + jnp.arange(nblk)[None, :]
+    X = jnp.fft.rfft(xp[idx], n=nblk)
+    H = np.fft.rfft(h, n=nblk).astype(cdtype)
+    y = jnp.fft.irfft(X * H, n=nblk)[:, ph:].reshape(-1)
+    return y[:n].astype(x.dtype)

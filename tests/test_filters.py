@@ -19,6 +19,20 @@ def test_sosfilt_hpf_float32_stable_and_accurate():
     assert np.max(np.abs(y - ref)) < 1e-5
 
 
+def test_sosfilt_both_conv_forms_match_scipy():
+    """sosfilt picks whole-signal vs overlap-save blocked FFT by point
+    count; both branches must match the scipy oracle."""
+    sos = butter_highpass_sos(4, 40.0, 48000)
+    rng = np.random.RandomState(3)
+    # n chosen so n+m lands just under a power of two (whole-signal
+    # branch) and well over one (blocked branch)
+    for n in (122880, 140000, 5000):
+        x = (rng.randn(n) * 0.1).astype(np.float32)
+        y = np.asarray(sosfilt(sos, jnp.asarray(x)))
+        ref = sp.sosfilt(np.asarray(sos, np.float64), x.astype(np.float64))
+        assert np.max(np.abs(y - ref)) < 1e-5, n
+
+
 def test_lfilter_low_order_matches_scipy():
     b, a = sp.butter(2, 0.2)
     x = np.random.RandomState(1).randn(4096).astype(np.float32)
