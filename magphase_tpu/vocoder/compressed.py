@@ -27,7 +27,7 @@ import numpy as np
 
 from ..config import (MagPhaseConfig, define_alpha, define_crossfade_params,
                       define_fft_len)
-from ..core import framing, melcep
+from ..core import framing, matfft, melcep
 from ..core.filters import butter_highpass_coeffs
 from ..core.interp import extend_nearest_coeffs, interp_linear_axis0
 from ..core.spectral import (build_mel_curve, crossfade_down_win_np, db,
@@ -278,14 +278,23 @@ def synthesis_core_batch(m_mag, m_real, m_imag, v_voi, pm, shifts, nfrms,
     w_down = jnp.asarray(crossfade_down_win_np(crsf_cf, crsf_bw, fs, h),
                          dtype)
 
-    # --- noise generation + pitch-sync windowing (877-897)
-    v_ns = jax.vmap(lambda k: jax.random.uniform(
-        k, (ns_len_max,), dtype=dtype, minval=-1.0, maxval=1.0))(keys)
+    # --- noise generation + pitch-sync windowing (877-897).  The noise
+    # stream is the reference's unseeded np.random.uniform made keyed; the
+    # draw itself only needs to be white + deterministic-per-key (the gain
+    # normalisation at 899-906 removes any scale effect), so it uses the
+    # 'rbg' generator (XLA RngBitGenerator) — several ms cheaper per batch
+    # than threefry counter-mode at (B, ~80k) samples on TPU
+    def _noise_one(k):
+        kr = jax.random.wrap_key_data(jnp.concatenate([k, k]), impl="rbg")
+        return jax.random.uniform(kr, (ns_len_max,), dtype=dtype,
+                                  minval=-1.0, maxval=1.0)
+
+    v_ns = jax.vmap(_noise_one)(keys)
     m_frm_ns, _, _, _ = framing.pitch_sync_frames_batch(
         v_ns, pm, nfrms, ns_len, fft_len,
         win_family=(VOI_NOISE if b_voi_ap_win else HANNING),
         voiced=voi, win_family_unvoiced=HANNING)
-    m_ns_cmplx = jnp.fft.rfft(m_frm_ns)
+    m_ns_cmplx = matfft.rfft(m_frm_ns)
 
     # --- noise gain normalisation (899-906): sqrt(exp(mean(log|NS|_mid^2)))
     m_ns_mag = jnp.abs(m_ns_cmplx)
@@ -339,9 +348,12 @@ def synthesis_core_batch(m_mag, m_real, m_imag, v_voi, pm, shifts, nfrms,
     m_syn = m_syn.at[..., 0].set(jnp.abs(m_syn[..., 0]) + 0j)
     m_syn = m_syn.at[..., -1].set(jnp.abs(m_syn[..., -1]) + 0j)
 
-    # --- to time domain (963-965)
-    m_frm = jnp.fft.irfft(m_syn, n=fft_len)
-    m_frm = jnp.roll(m_frm, fft_len // 2, axis=-1)
+    # --- to time domain (963-965).  The reference's fftshift after the
+    # inverse FFT is folded into the spectrum as a (-1)^k sign flip
+    # (time shift by N/2 <=> modulation by e^{-i*pi*k}) — one fused
+    # elementwise multiply instead of a full-size roll pass
+    alt = (1.0 - 2.0 * (jnp.arange(h) % 2)).astype(dtype)
+    m_frm = matfft.irfft(m_syn * alt, n=fft_len)
 
     # --- anti-ringing window (968-973)
     m_frm = jax.vmap(framing.apply_anti_ringing)(m_frm, shifts, nfrms)

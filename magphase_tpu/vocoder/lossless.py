@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import MagPhaseConfig
-from ..core import framing
+from ..core import framing, matfft
 from ..core.windows import HANNING
 from ..io import est as est_io
 from ..io import wav as wav_io
@@ -43,7 +43,7 @@ def analysis_core_batch(sig, pm, nfrms, n_sig, voi, *, fft_len: int,
     """
     frames, L, R, valid = framing.pitch_sync_frames_batch(
         sig, pm, nfrms, n_sig, fft_len, win_family=HANNING)
-    spec = jnp.fft.rfft(frames)
+    spec = matfft.rfft(frames)
 
     m_mag = jnp.abs(spec)
     m_div = jnp.where(m_mag == 0.0, 1.0, m_mag)
@@ -68,8 +68,9 @@ def synthesis_core_batch(m_mag, m_real, m_imag, pm, nfrms, *, fft_len: int,
     # reference's add_hermitian_half('complex') zeroes imag at DC/Nyquist
     m_fft = m_fft.at[..., 0].set(m_fft[..., 0].real + 0j)
     m_fft = m_fft.at[..., -1].set(m_fft[..., -1].real + 0j)
-    m_frm = jnp.fft.irfft(m_fft, n=fft_len)
-    m_frm = jnp.roll(m_frm, fft_len // 2, axis=-1)    # fftshift (even N)
+    # fftshift folded into the spectrum: roll by N/2 <=> (-1)^k modulation
+    alt = (1.0 - 2.0 * (jnp.arange(m_fft.shape[-1]) % 2)).astype(m_mag.dtype)
+    m_frm = matfft.irfft(m_fft * alt, n=fft_len)
     return framing.ola_centered_batch(m_frm, pm, nfrms, out_len_max)
 
 
@@ -95,7 +96,7 @@ def _analysis_type2_kernel(sig, pm, nfrms, n_sig, voi, *, fft_len: int,
         win_family=HANNING)
     frames, L, R, valid = frames[0], L[0], R[0], valid[0]
     h = fft_len // 2 + 1
-    spec = jnp.fft.rfft(frames)
+    spec = matfft.rfft(frames)
 
     m_mag = jnp.abs(spec)
     m_div = jnp.where(m_mag == 0.0, 1.0, m_mag)

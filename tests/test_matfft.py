@@ -1,0 +1,57 @@
+"""Matmul-DFT kernels (core/matfft.py) vs jnp.fft oracles."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from magphase_tpu.core import matfft
+
+
+@pytest.mark.parametrize("n", [256, 1024, 2048, 4096])
+def test_rfft_matches_native(n, monkeypatch):
+    monkeypatch.setenv("MAGPHASE_MATFFT", "1")
+    rng = np.random.RandomState(0)
+    x = rng.randn(6, n).astype(np.float32)
+    got = np.asarray(matfft.rfft(jnp.asarray(x)))
+    ref = np.fft.rfft(x.astype(np.float64))
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 2e-6
+
+
+@pytest.mark.parametrize("n", [256, 2048, 4096])
+def test_irfft_matches_native(n, monkeypatch):
+    monkeypatch.setenv("MAGPHASE_MATFFT", "1")
+    rng = np.random.RandomState(1)
+    X = (rng.randn(5, n // 2 + 1) +
+         1j * rng.randn(5, n // 2 + 1)).astype(np.complex64)
+    got = np.asarray(matfft.irfft(jnp.asarray(X), n=n))
+    ref = np.fft.irfft(X.astype(np.complex128), n=n)
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 2e-6
+
+
+def test_rfft_zero_pad_and_roundtrip(monkeypatch):
+    monkeypatch.setenv("MAGPHASE_MATFFT", "1")
+    rng = np.random.RandomState(2)
+    x = rng.randn(3, 1500).astype(np.float32)
+    got = np.asarray(matfft.rfft(jnp.asarray(x), n=2048))
+    ref = np.fft.rfft(x.astype(np.float64), n=2048)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-6
+    # round trip
+    back = np.asarray(matfft.irfft(jnp.asarray(got), n=2048))
+    assert np.abs(back[:, :1500] - x).max() < 1e-5
+
+
+def test_non_pow2_falls_back(monkeypatch):
+    monkeypatch.setenv("MAGPHASE_MATFFT", "1")
+    x = np.random.RandomState(3).randn(2, 1000).astype(np.float32)
+    got = np.asarray(matfft.rfft(jnp.asarray(x), n=1000))
+    ref = np.fft.rfft(x.astype(np.float64), n=1000)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_disabled_matches_exactly(monkeypatch):
+    monkeypatch.setenv("MAGPHASE_MATFFT", "0")
+    x = np.random.RandomState(4).randn(2, 512).astype(np.float32)
+    got = np.asarray(matfft.rfft(jnp.asarray(x)))
+    ref = np.asarray(jnp.fft.rfft(jnp.asarray(x)))
+    np.testing.assert_array_equal(got, ref)

@@ -74,8 +74,7 @@ def main():
             m_real = m_real.reshape(B, F, h)
             m_imag = m_imag.reshape(B, F, h)
             if upto == 0:
-                return jnp.sum(m_mag[:, ::16, ::64]) + \
-                    jnp.sum(m_real[:, ::16, ::64])
+                return jnp.sum(jnp.abs(m_mag)) + jnp.sum(jnp.abs(m_real))
             dtype = m_mag.dtype
             valid = jnp.arange(F)[None, :] < nfrms[:, None]
             voi = voi_in.astype(bool) & valid
@@ -89,7 +88,7 @@ def main():
                 voiced=voi, win_family_unvoiced=HANNING)
             m_ns_cmplx = jnp.fft.rfft(m_frm_ns)
             if upto == 1:
-                return jnp.sum(jnp.abs(m_ns_cmplx[:, ::16, ::64]))
+                return jnp.sum(jnp.abs(m_ns_cmplx))
             crsf_cf, crsf_bw = define_crossfade_params(fs)
             w_down = jnp.asarray(
                 crossfade_down_win_np(crsf_cf, crsf_bw, fs, h), dtype)
@@ -130,20 +129,20 @@ def main():
             m_syn = m_syn.at[..., 0].set(jnp.abs(m_syn[..., 0]) + 0j)
             m_syn = m_syn.at[..., -1].set(jnp.abs(m_syn[..., -1]) + 0j)
             if upto == 2:
-                return jnp.sum(jnp.abs(m_syn[:, ::16, ::64]))
+                return jnp.sum(jnp.abs(m_syn))
             m_frm = jnp.fft.irfft(m_syn, n=fft_len)
             m_frm = jnp.roll(m_frm, fft_len // 2, axis=-1)
             m_frm = jax.vmap(framing.apply_anti_ringing)(m_frm, shifts,
                                                          nfrms)
             if upto == 3:
-                return jnp.sum(m_frm[:, ::16, ::64])
+                return jnp.sum(jnp.abs(m_frm))
             bufs = framing.ola_centered_batch(m_frm, pm, nfrms,
                                               out_len_max)
             if upto == 4:
-                return jnp.sum(bufs[:, ::1024])
+                return jnp.sum(jnp.abs(bufs))
             sos = butter_highpass_sos(4, 40.0, fs)
             bufs = jax.vmap(lambda x: sosfilt(sos, x))(bufs)
-            return jnp.sum(bufs[:, ::1024])
+            return jnp.sum(jnp.abs(bufs))
         return fn
 
     prev = 0.0
