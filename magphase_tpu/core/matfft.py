@@ -4,20 +4,32 @@ XLA's native TPU FFT runs the vocoder's hot (rows, 2048/4096)-point
 transforms at ~200 GFLOP/s — it is latency/VPU-bound, not MXU-bound
 (measured: the two FFT stages are 40 of 55 ms of the fused synthesis
 iteration).  A DFT factorised as two small dense matmuls plus a twiddle
-multiply does ~4x the naive FFT FLOPs but runs on the MXU, which is
-orders faster for this shape.  For n = n1*n2 with index split
-j = j1*n2 + j2, k = k2*n1 + k1:
+multiply does ~4x the naive FFT FLOPs but runs on the MXU.  For
+n = n1*n2 with index split j = j1*n2 + j2, k = k2*n1 + k1:
 
     X[k2*n1 + k1] = sum_j2 D2[j2,k2] * W_n^(k1*j2) * sum_j1 D1[j1,k1] x[j1*n2+j2]
 
 i.e. matmul over j1 (n1-point DFTs), twiddle, matmul over j2 (n2-point
 DFTs), transpose.  All matrices are trace-time constants.
 
+Everything is REAL arithmetic on real float32 constants: complex
+multiplies are written out as +/- products of (re, im) parts, and the
+complex result is assembled only at the very end (rfft) or never (irfft
+returns its real part straight from two real matmuls, skipping the two
+that would produce the ~0 imaginary part).  This is deliberate and
+load-bearing, not a style choice: embedding complex64 CONSTANTS in a
+program corrupts results on the axon-tunnelled TPU backend (measured:
+a lossless copy-synthesis program containing complex constants returns
+p99~9e-2 reconstructions from EVERY subgraph — even ones not touching
+the constants — while the same program with real constants is exact to
+1e-7; complex64 transfers on this link are UNIMPLEMENTED and hoisted
+constants appear to hit the same path).
+
 Precision: matmuls run at precision='highest' (6-pass bf16 on TPU,
 ~float32 accuracy); max abs error vs jnp.fft on unit-scale speech frames
-is ~1e-5 at n=4096 — far below the float16 feature-transfer quantisation
-of the compressed pipelines these kernels serve.  The LOSSLESS pipeline
-keeps XLA's native FFT (its round trip is asserted to ~1e-7).
+is ~1e-5 at n=4096 (measured rel err ~3e-7 on-device) — far below the
+float16 feature-transfer quantisation of the compressed pipelines these
+kernels serve, and the lossless round trip through them stays sub-PCM16.
 
 MAGPHASE_MATFFT=0 falls back to jnp.fft everywhere; =1 forces the matmul
 path even off-TPU (CPU tests); unset = matmul on TPU only.
@@ -42,7 +54,7 @@ def _split(n: int) -> tuple[int, int]:
 
 @functools.lru_cache(maxsize=32)
 def _dft_consts(n: int, inverse: bool):
-    """(D1_re, D1_im, TW, D2) trace-time constants for the two stages."""
+    """Real/imag parts of (D1, TW, D2) as float32 trace-time constants."""
     n1, n2 = _split(n)
     sign = 2j if inverse else -2j
     j1 = np.arange(n1)
@@ -52,42 +64,75 @@ def _dft_consts(n: int, inverse: bool):
     TW = np.exp(sign * np.pi * k1 * j2 / n)                    # (k1, j2)
     jj2 = np.arange(n2)
     D2 = np.exp(sign * np.pi * np.outer(jj2, jj2) / n2)        # (j2, k2)
-    return (D1.real.astype(np.float32), D1.imag.astype(np.float32),
-            TW.astype(np.complex64), D2.astype(np.complex64))
+    f32 = lambda a: a.astype(np.float32)
+    return (f32(D1.real), f32(D1.imag), f32(TW.real), f32(TW.imag),
+            f32(D2.real), f32(D2.imag))
 
 
-def _dft_real_input(x: jnp.ndarray, n: int, inverse: bool) -> jnp.ndarray:
-    """Full complex DFT of REAL x (..., n) via two matmul stages."""
+_MM = functools.partial(jnp.einsum, precision="highest")
+
+
+def _stages_real_input(x: jnp.ndarray, n: int, inverse: bool):
+    """(Re, Im) of the full complex DFT of REAL x (..., n), real math."""
     n1, n2 = _split(n)
-    D1r, D1i, TW, D2 = _dft_consts(n, inverse)
+    D1r, D1i, TWr, TWi, D2r, D2i = map(jnp.asarray, _dft_consts(n, inverse))
     lead = x.shape[:-1]
     xr = x.reshape(-1, n1, n2)                                  # [b, j1, j2]
-    # stage 1 over j1: A[b, k1, j2] — real input, two real matmuls
-    Ar = jnp.einsum("bjs,jk->bks", xr, jnp.asarray(D1r),
-                    precision="highest")
-    Ai = jnp.einsum("bjs,jk->bks", xr, jnp.asarray(D1i),
-                    precision="highest")
-    A = (Ar + 1j * Ai) * jnp.asarray(TW)[None]
-    # stage 2 over j2: C[b, k1, k2]
-    C = jnp.einsum("bks,st->bkt", A, jnp.asarray(D2),
-                   precision="highest")
+    # stage 1 over j1 (real input -> two real matmuls), then twiddle
+    Ar = _MM("bjs,jk->bks", xr, D1r)
+    Ai = _MM("bjs,jk->bks", xr, D1i)
+    Br = Ar * TWr - Ai * TWi
+    Bi = Ar * TWi + Ai * TWr
+    # stage 2 over j2 (complex x complex as four real matmuls)
+    Cr = _MM("bks,st->bkt", Br, D2r) - _MM("bks,st->bkt", Bi, D2i)
+    Ci = _MM("bks,st->bkt", Br, D2i) + _MM("bks,st->bkt", Bi, D2r)
     # k = k2*n1 + k1
-    return C.transpose(0, 2, 1).reshape(*lead, n)
+    return (Cr.transpose(0, 2, 1).reshape(*lead, n),
+            Ci.transpose(0, 2, 1).reshape(*lead, n))
 
 
-def _dft_complex_input(z: jnp.ndarray, n: int,
-                       inverse: bool) -> jnp.ndarray:
-    """Full complex DFT of complex z (..., n) via two matmul stages."""
+def _inverse_real_output(zr: jnp.ndarray, zi: jnp.ndarray,
+                         n: int) -> jnp.ndarray:
+    """Real output of the inverse DFT given only the h = n/2+1 bins
+    (zr, zi) of a hermitian spectrum, WITHOUT building the mirrored tail.
+
+    y[t] = (1/n) [X[0] + 2 sum_{k=1..n/2-1} Re(X[k] e^{+2pi i kt/n})
+                  + X[n/2] (-1)^t]
+         = Re( sum_{k=0..n/2} w[k] X[k] e^{+2pi i kt/n} ),
+    with w = [1, 2, ..., 2, 1]/n — i.e. the inverse stages applied to the
+    weighted spectrum zero-padded from h to n along k.  The pad lands the
+    zeros in the upper half of the j1 axis after the (n1, n2) reshape, so
+    stage 1 only contracts the first n1/2+1 rows.  Two of the four stage-2
+    matmuls vanish because only the real output is needed.
+
+    No mirrored-tail assembly: a reverse+negate+concatenate spectrum
+    extension was observed to MISCOMPILE on the axon-tunnelled TPU backend
+    inside large fused programs (the imaginary tail read back as zeros,
+    err = -odd(frame)/2 exactly); zero-padding avoids the pattern.
+    """
     n1, n2 = _split(n)
-    D1r, D1i, TW, D2 = _dft_consts(n, inverse)
-    lead = z.shape[:-1]
-    zr = z.reshape(-1, n1, n2)
-    D1 = jnp.asarray(D1r) + 1j * jnp.asarray(D1i)
-    A = jnp.einsum("bjs,jk->bks", zr, D1, precision="highest")
-    A = A * jnp.asarray(TW)[None]
-    C = jnp.einsum("bks,st->bkt", A, jnp.asarray(D2),
-                   precision="highest")
-    return C.transpose(0, 2, 1).reshape(*lead, n)
+    h = n // 2 + 1
+    D1r, D1i, TWr, TWi, D2r, D2i = map(jnp.asarray, _dft_consts(n, True))
+    w = np.full(h, 2.0, np.float32) / n
+    w[0] = 1.0 / n
+    w[-1] = 1.0 / n
+    w = jnp.asarray(w)
+    lead = zr.shape[:-1]
+    # weighted half-spectrum, reshaped so k = j1*n2 + j2; rows of j1 past
+    # the occupied prefix are identically zero and never touched
+    j1_used = h // n2 + 1                       # ceil over occupied rows
+    pad = j1_used * n2 - h
+    ar = jnp.pad(zr * w, [(0, 0)] * (zr.ndim - 1) + [(0, pad)])
+    ai = jnp.pad(zi * w, [(0, 0)] * (zi.ndim - 1) + [(0, pad)])
+    ar = ar.reshape(-1, j1_used, n2)
+    ai = ai.reshape(-1, j1_used, n2)
+    D1r_u, D1i_u = D1r[:j1_used], D1i[:j1_used]
+    Ar = _MM("bjs,jk->bks", ar, D1r_u) - _MM("bjs,jk->bks", ai, D1i_u)
+    Ai = _MM("bjs,jk->bks", ar, D1i_u) + _MM("bjs,jk->bks", ai, D1r_u)
+    Br = Ar * TWr - Ai * TWi
+    Bi = Ar * TWi + Ai * TWr
+    Cr = _MM("bks,st->bkt", Br, D2r) - _MM("bks,st->bkt", Bi, D2i)
+    return Cr.transpose(0, 2, 1).reshape(*lead, n)
 
 
 def _use_native() -> bool:
@@ -108,8 +153,9 @@ def rfft(x: jnp.ndarray, n: int | None = None) -> jnp.ndarray:
     if x.shape[-1] != n:
         pad = [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])]
         x = jnp.pad(x, pad)
-    return _dft_real_input(x.astype(jnp.float32), n,
-                           inverse=False)[..., :n // 2 + 1]
+    re, im = _stages_real_input(x.astype(jnp.float32), n, inverse=False)
+    h = n // 2 + 1
+    return jax.lax.complex(re[..., :h], im[..., :h])
 
 
 def irfft(X: jnp.ndarray, n: int | None = None) -> jnp.ndarray:
@@ -120,8 +166,7 @@ def irfft(X: jnp.ndarray, n: int | None = None) -> jnp.ndarray:
         return jnp.fft.irfft(X, n=n)
     h = n // 2 + 1
     X = X[..., :h]
-    # hermitian extension X[n-k] = conj(X[k]) for k = 1..n/2-1
-    tail = jnp.conj(X[..., 1:-1][..., ::-1])
-    Xf = jnp.concatenate([X, tail], axis=-1)
-    y = _dft_complex_input(Xf, n, inverse=True)
-    return (y.real / n).astype(jnp.float32)
+    # no hermitian tail is built — _inverse_real_output folds the mirror
+    # symmetry into per-bin weights (see its docstring for why)
+    y = _inverse_real_output(X.real, X.imag, n)
+    return y.astype(jnp.float32)

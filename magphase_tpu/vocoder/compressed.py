@@ -252,6 +252,35 @@ def _unwarp_kernel(m_mag_mel_log, m_real_mel, m_imag_mel, *, fft_len: int,
     return m_mag, m_real, m_imag
 
 
+def _fmix32(x):
+    """murmur3 32-bit finaliser: full avalanche on a uint32 lane."""
+    x ^= x >> 16
+    x *= jnp.uint32(0x85EBCA6B)
+    x ^= x >> 13
+    x *= jnp.uint32(0xC2B2AE35)
+    x ^= x >> 16
+    return x
+
+
+def hash_noise_uniform(keys, n: int):
+    """(B, 2) uint32 keys -> (B, n) float32 white noise in [-1, 1).
+
+    Stateless counter-mode hash: sample (b, i) depends only on
+    (keys[b], i), never on B or n, so per-utterance noise is invariant to
+    batch padding/bucketing (the property test_batch_matches_single
+    asserts).  Two murmur finaliser rounds with the second key word mixed
+    between them give full avalanche from both the index and the key.
+    """
+    idx = jnp.arange(n, dtype=jnp.uint32)[None, :]
+    k0 = keys[:, 0].astype(jnp.uint32)[:, None]
+    k1 = keys[:, 1].astype(jnp.uint32)[:, None]
+    x = _fmix32(idx ^ k0)
+    x = _fmix32(x ^ k1)
+    # top 24 bits -> [0, 1) at float32-exact spacing -> [-1, 1)
+    return ((x >> 8).astype(jnp.float32) * jnp.float32(2.0 / (1 << 24))
+            - jnp.float32(1.0))
+
+
 def synthesis_core_batch(m_mag, m_real, m_imag, v_voi, pm, shifts, nfrms,
                          ns_len, keys, *, fs: int, fft_len: int,
                          alpha: float, b_voi_ap_win: bool,
@@ -280,16 +309,15 @@ def synthesis_core_batch(m_mag, m_real, m_imag, v_voi, pm, shifts, nfrms,
 
     # --- noise generation + pitch-sync windowing (877-897).  The noise
     # stream is the reference's unseeded np.random.uniform made keyed; the
-    # draw itself only needs to be white + deterministic-per-key (the gain
-    # normalisation at 899-906 removes any scale effect), so it uses the
-    # 'rbg' generator (XLA RngBitGenerator) — several ms cheaper per batch
-    # than threefry counter-mode at (B, ~80k) samples on TPU
-    def _noise_one(k):
-        kr = jax.random.wrap_key_data(jnp.concatenate([k, k]), impl="rbg")
-        return jax.random.uniform(kr, (ns_len_max,), dtype=dtype,
-                                  minval=-1.0, maxval=1.0)
-
-    v_ns = jax.vmap(_noise_one)(keys)
+    # draw only needs to be white + deterministic per (key, sample), and —
+    # because batches are padded to bucket sizes — independent of batch
+    # composition, so utterance i sounds identical whether vocoded alone or
+    # inside any batch.  XLA's 'rbg' generator violates that (vmapped
+    # RngBitGenerator draws change with batch shape); threefry holds it but
+    # burns ~60 VPU ops/sample.  This stateless murmur-style counter hash
+    # holds it at ~12 ops/sample (whiteness asserted in
+    # tests/test_compressed.py::test_hash_noise_whiteness).
+    v_ns = hash_noise_uniform(keys, ns_len_max).astype(dtype)
     m_frm_ns, _, _, _ = framing.pitch_sync_frames_batch(
         v_ns, pm, nfrms, ns_len, fft_len,
         win_family=(VOI_NOISE if b_voi_ap_win else HANNING),

@@ -248,3 +248,34 @@ def test_var_const_rate_interp_roundtrip():
     truth = np.stack([np.sin(2 * np.pi * 3 * locs / fs),
                       np.cos(2 * np.pi * 2 * locs / fs)], 1)
     assert np.max(np.abs(m_var - truth)) < 0.01
+
+
+def test_hash_noise_whiteness():
+    """The stateless counter-hash noise must be white and uniform enough to
+    stand in for the reference's np.random.uniform excitation
+    (magphase.py:883): near-zero mean, uniform[-1,1) std, no lag
+    correlation, flat spectrum, and invariant to the batch/draw size."""
+    from magphase_tpu.vocoder.compressed import hash_noise_uniform
+
+    keys = np.asarray(jax.random.split(jax.random.PRNGKey(7), 3))
+    n = 1 << 18
+    x = np.asarray(hash_noise_uniform(jnp.asarray(keys), n))
+    assert x.shape == (3, n) and x.dtype == np.float32
+    assert np.all(x >= -1.0) and np.all(x < 1.0)
+    # moments of U[-1,1): mean 0, std 1/sqrt(3)
+    assert np.all(np.abs(x.mean(axis=1)) < 4.0 / np.sqrt(n))
+    assert np.allclose(x.std(axis=1), 1.0 / np.sqrt(3.0), atol=3e-3)
+    # lag-1..4 autocorrelation ~ N(0, 1/n)
+    for lag in range(1, 5):
+        r = np.mean(x[:, :-lag] * x[:, lag:], axis=1) / x.var(axis=1)
+        assert np.all(np.abs(r) < 5.0 / np.sqrt(n)), (lag, r)
+    # spectral flatness: per-bin periodogram is Exp(mean); the max of n/2
+    # iid exponentials is ~ln(n/2) ~ 11.8 of the mean
+    p = np.abs(np.fft.rfft(x[0]))[1:-1] ** 2
+    assert p.max() / p.mean() < 20.0
+    # different keys decorrelate
+    c = np.corrcoef(x[0], x[1])[0, 1]
+    assert abs(c) < 5.0 / np.sqrt(n)
+    # draw-size invariance (the batch==single property)
+    y = np.asarray(hash_noise_uniform(jnp.asarray(keys[:1]), n // 4))
+    assert np.array_equal(y[0], x[0, :n // 4])
