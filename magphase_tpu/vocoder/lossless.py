@@ -43,7 +43,11 @@ def analysis_core_batch(sig, pm, nfrms, n_sig, voi, *, fft_len: int,
     """
     frames, L, R, valid = framing.pitch_sync_frames_batch(
         sig, pm, nfrms, n_sig, fft_len, win_family=HANNING)
-    spec = matfft.rfft(frames)
+    # forward analysis keeps the NATIVE FFT: at fft_len 4096 the matmul
+    # DFT measured 2.5% SLOWER inside the fused analyse+compress phase
+    # (1171 vs 1201 audio-s/s device) while winning 7% in synthesis —
+    # chosen per callsite from the A/B (tools/device_bench.py)
+    spec = jnp.fft.rfft(frames)
 
     m_mag = jnp.abs(spec)
     m_div = jnp.where(m_mag == 0.0, 1.0, m_mag)
@@ -96,7 +100,7 @@ def _analysis_type2_kernel(sig, pm, nfrms, n_sig, voi, *, fft_len: int,
         win_family=HANNING)
     frames, L, R, valid = frames[0], L[0], R[0], valid[0]
     h = fft_len // 2 + 1
-    spec = matfft.rfft(frames)
+    spec = jnp.fft.rfft(frames)    # native: see analysis_core_batch
 
     m_mag = jnp.abs(spec)
     m_div = jnp.where(m_mag == 0.0, 1.0, m_mag)
