@@ -55,7 +55,8 @@ ANALYSIS_BATCH = 64          # 10 demo wavs cycled; >=2 HBM-budget groups,
                              # so the two-phase pipelining engages as in
                              # steady-state corpus extraction
 ANALYSIS_REPS = 3
-WORKER_REPS = 2
+WORKER_REPS = 3          # E2E is tunnel-bound and contention swings it
+                         # ~4-8x; best-of-3 fresh workers de-noises it
 PER_CHIP_TARGET = 5000.0 / 16.0
 
 

@@ -69,11 +69,10 @@ def _dft_consts(n: int, inverse: bool):
             f32(D2.real), f32(D2.imag))
 
 
-_MM = functools.partial(jnp.einsum, precision="highest")
-
-
-def _stages_real_input(x: jnp.ndarray, n: int, inverse: bool):
+def _stages_real_input(x: jnp.ndarray, n: int, inverse: bool,
+                       precision: str = "highest"):
     """(Re, Im) of the full complex DFT of REAL x (..., n), real math."""
+    _MM = functools.partial(jnp.einsum, precision=precision)
     n1, n2 = _split(n)
     D1r, D1i, TWr, TWi, D2r, D2i = map(jnp.asarray, _dft_consts(n, inverse))
     lead = x.shape[:-1]
@@ -91,8 +90,8 @@ def _stages_real_input(x: jnp.ndarray, n: int, inverse: bool):
             Ci.transpose(0, 2, 1).reshape(*lead, n))
 
 
-def _inverse_real_output(zr: jnp.ndarray, zi: jnp.ndarray,
-                         n: int) -> jnp.ndarray:
+def _inverse_real_output(zr: jnp.ndarray, zi: jnp.ndarray, n: int,
+                         precision: str = "highest") -> jnp.ndarray:
     """Real output of the inverse DFT given only the h = n/2+1 bins
     (zr, zi) of a hermitian spectrum, WITHOUT building the mirrored tail.
 
@@ -110,6 +109,7 @@ def _inverse_real_output(zr: jnp.ndarray, zi: jnp.ndarray,
     inside large fused programs (the imaginary tail read back as zeros,
     err = -odd(frame)/2 exactly); zero-padding avoids the pattern.
     """
+    _MM = functools.partial(jnp.einsum, precision=precision)
     n1, n2 = _split(n)
     h = n // 2 + 1
     D1r, D1i, TWr, TWi, D2r, D2i = map(jnp.asarray, _dft_consts(n, True))
@@ -144,8 +144,16 @@ def _use_native() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def rfft(x: jnp.ndarray, n: int | None = None) -> jnp.ndarray:
-    """jnp.fft.rfft(x, n) — MXU matmul DFT on TPU, native elsewhere."""
+def rfft(x: jnp.ndarray, n: int | None = None,
+         precision: str = "highest") -> jnp.ndarray:
+    """jnp.fft.rfft(x, n) — MXU matmul DFT on TPU, native elsewhere.
+
+    precision: 'highest' (6-pass bf16, ~f32 accuracy, the default) or
+    'high' (3-pass).  Measured on v5e: 'high' does NOT speed up the fused
+    synthesis at all (4423 vs 4425 audio-s/s) — these batched small-tile
+    matmuls are layout/HBM-bound, not MXU-pass-bound — so production
+    callsites keep 'highest'.  A fused Pallas DFT that holds all stages in
+    VMEM is the remaining headroom here."""
     if n is None:
         n = x.shape[-1]
     if _use_native() or (n & (n - 1)):
@@ -153,13 +161,16 @@ def rfft(x: jnp.ndarray, n: int | None = None) -> jnp.ndarray:
     if x.shape[-1] != n:
         pad = [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])]
         x = jnp.pad(x, pad)
-    re, im = _stages_real_input(x.astype(jnp.float32), n, inverse=False)
+    re, im = _stages_real_input(x.astype(jnp.float32), n, inverse=False,
+                                precision=precision)
     h = n // 2 + 1
     return jax.lax.complex(re[..., :h], im[..., :h])
 
 
-def irfft(X: jnp.ndarray, n: int | None = None) -> jnp.ndarray:
-    """jnp.fft.irfft(X, n) — MXU matmul DFT on TPU, native elsewhere."""
+def irfft(X: jnp.ndarray, n: int | None = None,
+          precision: str = "highest") -> jnp.ndarray:
+    """jnp.fft.irfft(X, n) — MXU matmul DFT on TPU, native elsewhere.
+    See rfft for the precision knob."""
     if n is None:
         n = 2 * (X.shape[-1] - 1)
     if _use_native() or (n & (n - 1)):
@@ -168,5 +179,5 @@ def irfft(X: jnp.ndarray, n: int | None = None) -> jnp.ndarray:
     X = X[..., :h]
     # no hermitian tail is built — _inverse_real_output folds the mirror
     # symmetry into per-bin weights (see its docstring for why)
-    y = _inverse_real_output(X.real, X.imag, n)
+    y = _inverse_real_output(X.real, X.imag, n, precision=precision)
     return y.astype(jnp.float32)
