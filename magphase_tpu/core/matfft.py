@@ -156,8 +156,8 @@ def rfft(x: jnp.ndarray, n: int | None = None,
     VMEM is the remaining headroom here."""
     if n is None:
         n = x.shape[-1]
-    if _use_native() or (n & (n - 1)):
-        return jnp.fft.rfft(x, n=n)
+    if _use_native() or (n & (n - 1)) or x.dtype == jnp.float64:
+        return jnp.fft.rfft(x, n=n)     # f64 callers keep full precision
     if x.shape[-1] != n:
         pad = [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])]
         x = jnp.pad(x, pad)
@@ -173,8 +173,8 @@ def irfft(X: jnp.ndarray, n: int | None = None,
     See rfft for the precision knob."""
     if n is None:
         n = 2 * (X.shape[-1] - 1)
-    if _use_native() or (n & (n - 1)):
-        return jnp.fft.irfft(X, n=n)
+    if _use_native() or (n & (n - 1)) or X.dtype == jnp.complex128:
+        return jnp.fft.irfft(X, n=n)    # f64 callers keep full precision
     h = n // 2 + 1
     X = X[..., :h]
     # no hermitian tail is built — _inverse_real_output folds the mirror
