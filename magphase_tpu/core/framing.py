@@ -180,8 +180,17 @@ def pitch_sync_frames_batch(sig: jnp.ndarray, pm: jnp.ndarray,
 
 
 def ola_centered_batch(frames: jnp.ndarray, pm: jnp.ndarray,
-                       nfrms: jnp.ndarray, out_len_max: int) -> jnp.ndarray:
-    """Batched ola_centered: frames (B,F,N), pm (B,F) -> (B, out_len_max)."""
+                       nfrms: jnp.ndarray, out_len_max: int,
+                       ar_shifts: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Batched ola_centered: frames (B,F,N), pm (B,F) -> (B, out_len_max).
+
+    ar_shifts (B, F): when given, the anti-ringing window
+    (apply_anti_ringing / magphase.py:968-973) is applied to each frame —
+    in-kernel on the Pallas path, as a separate pass on the XLA fallback.
+    NOTE measured SLOWER than a separate apply_anti_ringing pass on v5e
+    (3555 vs 4439 audio-s/s batch synthesis): the per-frame (1, N) window
+    evaluation inside the scatter loop underuses the VPU.  Kept as a
+    tested option; production callers use the two-pass form."""
     B, F, N = frames.shape
     if _on_tpu():
         from ..pallas_kernels.framing_pallas import ola_pallas, LANE
@@ -189,24 +198,30 @@ def ola_centered_batch(frames: jnp.ndarray, pm: jnp.ndarray,
         if out_pad % LANE:
             out_pad += LANE - out_pad % LANE
         starts = jnp.clip(pm - N // 2 + N, 0, out_pad - 2 * N)
+        wl = wr = None
+        if ar_shifts is not None:
+            wl, wr = jax.vmap(ar_winlens)(ar_shifts, nfrms)
+            wl = wl.astype(jnp.int32)
+            wr = wr.astype(jnp.int32)
         out = ola_pallas(frames, starts.astype(jnp.int32),
-                         nfrms.astype(jnp.int32), fft_len=N,
-                         out_len_pad=out_pad)
+                         nfrms.astype(jnp.int32), wl, wr, fft_len=N,
+                         out_len_pad=out_pad,
+                         anti_ring=ar_shifts is not None)
         return out[:, N:N + out_len_max]
+    if ar_shifts is not None:
+        frames = jax.vmap(apply_anti_ringing)(frames, ar_shifts, nfrms)
     return jax.vmap(lambda fr, p, nf: ola_centered(fr, p, nf, out_len_max))(
         frames, pm, nfrms)
 
 
-def apply_anti_ringing(frames: jnp.ndarray, shifts: jnp.ndarray,
-                       nfrms: jnp.ndarray) -> jnp.ndarray:
-    """Per-frame centred raised-hanning anti-ringing window over a
-    two-pitch-period support (magphase.py:968-973).
+def ar_winlens(shifts: jnp.ndarray, nfrms: jnp.ndarray):
+    """(winlen_l, winlen_r) (F,) of the anti-ringing window per frame.
 
     shifts: (F,) int32 frame shifts; the reference extends them as
     [s0, s..., s_last, s_last] and uses winlen_l = s[f]+s[f+1],
-    winlen_r = s[f+2]+s[f+3] on the extended array.
+    winlen_r = s[f+2]+s[f+3] on the extended array (magphase.py:969-971).
     """
-    F, fft_len = frames.shape
+    F = shifts.shape[0]
     f = jnp.arange(F)
     last = jnp.maximum(nfrms - 1, 0)
 
@@ -214,8 +229,15 @@ def apply_anti_ringing(frames: jnp.ndarray, shifts: jnp.ndarray,
         j = jnp.clip(i - 1, 0, last)     # ext: [s0, s0..s_{n-1}, s_{n-1}, s_{n-1}]
         return jnp.take(shifts, j, axis=0)
 
-    winlen_l = s_ext(f) + s_ext(f + 1)
-    winlen_r = s_ext(f + 2) + s_ext(f + 3)
+    return s_ext(f) + s_ext(f + 1), s_ext(f + 2) + s_ext(f + 3)
+
+
+def apply_anti_ringing(frames: jnp.ndarray, shifts: jnp.ndarray,
+                       nfrms: jnp.ndarray) -> jnp.ndarray:
+    """Per-frame centred raised-hanning anti-ringing window over a
+    two-pitch-period support (magphase.py:968-973)."""
+    F, fft_len = frames.shape
+    winlen_l, winlen_r = ar_winlens(shifts, nfrms)
     p = jnp.arange(fft_len)[None, :]
     win = W.centr_win_value(p, winlen_l[:, None], winlen_r[:, None], fft_len,
                             W.RAISED_HANNING, att=1.0, fill_bound=True)

@@ -30,6 +30,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..core import windows as WIN
+
 TILE_F = 8
 LANE = 128
 
@@ -200,7 +202,8 @@ def pad_signal(sig_batch: np.ndarray, fft_len: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # OLA kernel
 
-def _ola_kernel(start_ref, nfrms_ref, frm_ref, out_ref, *, fft_len: int):
+def _ola_kernel(start_ref, nfrms_ref, wl_ref, wr_ref, frm_ref, out_ref,
+                *, fft_len: int, anti_ring: bool):
     b = pl.program_id(0)
     ft = pl.program_id(1)
     N = fft_len
@@ -218,38 +221,56 @@ def _ola_kernel(start_ref, nfrms_ref, frm_ref, out_ref, *, fft_len: int):
             s = start_ref[b, f]
             base = pl.multiple_of((s // LANE) * LANE, LANE)
             r = s % LANE
+            v = frm_ref[:, j, :]
+            if anti_ring:
+                # anti-ringing window fused into the scatter
+                # (magphase.py:968-973): saves one full (B, F, N) HBM
+                # round trip vs a separate windowing pass
+                p = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+                v = v * WIN.centr_win_value(
+                    p, wl_ref[b, f], wr_ref[b, f], N, WIN.RAISED_HANNING,
+                    att=1.0, fill_bound=True)
             # 2N-wide (power-of-two) window: frame rolled into lane
             # position r, zeros elsewhere (the zero pad wraps around)
-            fp = jnp.concatenate([frm_ref[:, j, :], zpad], axis=1)
+            fp = jnp.concatenate([v, zpad], axis=1)
             fr = pltpu.roll(fp, r, 1)         # fr[i] = fp[i - r]
             W = out_ref[0, :, pl.ds(base, 2 * N)]
             out_ref[0, :, pl.ds(base, 2 * N)] = W + fr
 
 
-@functools.partial(jax.jit, static_argnames=("fft_len", "out_len_pad"))
-def ola_pallas(frames, starts, nfrms, *, fft_len: int, out_len_pad: int):
+@functools.partial(jax.jit,
+                   static_argnames=("fft_len", "out_len_pad", "anti_ring"))
+def ola_pallas(frames, starts, nfrms, wl=None, wr=None, *, fft_len: int,
+               out_len_pad: int, anti_ring: bool = False):
     """Overlap-add: frame f of utterance b added at starts[b, f].
 
-    starts must be >= 0 and <= out_len_pad - 2*fft_len.
+    starts must be >= 0 and <= out_len_pad - 2*fft_len.  With
+    ``anti_ring``, each frame is multiplied in-kernel by the centred
+    raised-hanning window of lengths (wl[b, f], wr[b, f]) before the
+    scatter (magphase.py:968-973 fused into the OLA).
     Returns (B, out_len_pad) float32.
     """
     B, F, N = frames.shape
-    # one (b, F) scalar-prefetch operand; keep under ~512 KB
-    b_max = max(1, (1 << 17) // F)
+    if wl is None:
+        wl = jnp.zeros(starts.shape, jnp.int32)
+    if wr is None:
+        wr = jnp.zeros(starts.shape, jnp.int32)
+    # four (b, F) scalar-prefetch operands; keep them under ~512 KB SMEM
+    b_max = max(1, (1 << 16) // F)
     return _chunked_over_batch(
         functools.partial(_ola_pallas_call, fft_len=fft_len,
-                          out_len_pad=out_len_pad),
-        b_max, frames, starts, nfrms)
+                          out_len_pad=out_len_pad, anti_ring=anti_ring),
+        b_max, frames, starts, nfrms, wl, wr)
 
 
-def _ola_pallas_call(frames, starts, nfrms, *, fft_len: int,
-                     out_len_pad: int):
+def _ola_pallas_call(frames, starts, nfrms, wl, wr, *, fft_len: int,
+                     out_len_pad: int, anti_ring: bool):
     B, F, N = frames.shape
     assert F % TILE_F == 0
     assert out_len_pad % LANE == 0
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=(B, F // TILE_F),
         in_specs=[
             pl.BlockSpec((1, TILE_F, N), lambda b, ft, *_: (b, ft, 0),
@@ -259,11 +280,12 @@ def _ola_pallas_call(frames, starts, nfrms, *, fft_len: int,
                                lambda b, ft, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
     )
-    kern = functools.partial(_ola_kernel, fft_len=fft_len)
+    kern = functools.partial(_ola_kernel, fft_len=fft_len,
+                             anti_ring=anti_ring)
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, 1, out_len_pad), jnp.float32),
         interpret=_use_interpret(),
-    )(starts, nfrms, frames)
+    )(starts, nfrms, wl, wr, frames)
     return out[:, 0, :]

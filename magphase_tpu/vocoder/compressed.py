@@ -383,7 +383,11 @@ def synthesis_core_batch(m_mag, m_real, m_imag, v_voi, pm, shifts, nfrms,
     alt = (1.0 - 2.0 * (jnp.arange(h) % 2)).astype(dtype)
     m_frm = matfft.irfft(m_syn * alt, n=fft_len)
 
-    # --- anti-ringing window (968-973)
+    # --- anti-ringing window (968-973).  Deliberately a SEPARATE batched
+    # pass: fusing it into the Pallas OLA scatter (ola_centered_batch's
+    # ar_shifts option) measured 3555 vs 4439 audio-s/s — the kernel's
+    # per-frame (1, N) window evaluation underuses the VPU vs this one
+    # big (B*F, N) pass, and that costs more than the saved HBM round trip
     m_frm = jax.vmap(framing.apply_anti_ringing)(m_frm, shifts, nfrms)
 
     # --- PSOLA overlap-add (976)

@@ -1,6 +1,7 @@
 """Pallas framing/OLA kernels vs the XLA reference implementations
 (interpret mode on CPU)."""
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from magphase_tpu.core import framing
@@ -108,3 +109,31 @@ def test_ola_pallas_matches_xla():
                                 out_len_pad=out_len + 4 * N))
     got = got[:, N:N + out_len]
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_ola_pallas_fused_anti_ringing_matches_two_pass():
+    """In-kernel anti-ringing (ola_pallas(anti_ring=True)) must equal the
+    two-pass apply_anti_ringing -> OLA form (magphase.py:968-976)."""
+    B, F, N = 2, 64, 512
+    rng = np.random.RandomState(3)
+    frames = rng.randn(B, F, N).astype(np.float32)
+    shifts = rng.randint(60, 120, (B, F)).astype(np.int32)
+    pm = np.cumsum(shifts, axis=1).astype(np.int32)
+    nfrms = np.asarray([F - 5, F - 1], np.int32)
+    out_len = 16384
+
+    windowed = np.asarray(jax.vmap(framing.apply_anti_ringing)(
+        jnp.asarray(frames), jnp.asarray(shifts), jnp.asarray(nfrms)))
+    starts = pm - N // 2 + N
+    ref = np.asarray(ola_pallas(jnp.asarray(windowed), jnp.asarray(starts),
+                                jnp.asarray(nfrms), fft_len=N,
+                                out_len_pad=out_len + 4 * N))
+
+    wl, wr = jax.vmap(framing.ar_winlens)(jnp.asarray(shifts),
+                                          jnp.asarray(nfrms))
+    got = np.asarray(ola_pallas(jnp.asarray(frames), jnp.asarray(starts),
+                                jnp.asarray(nfrms),
+                                wl.astype(jnp.int32), wr.astype(jnp.int32),
+                                fft_len=N, out_len_pad=out_len + 4 * N,
+                                anti_ring=True))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
