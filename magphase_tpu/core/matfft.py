@@ -113,14 +113,11 @@ def _inverse_real_output(zr: jnp.ndarray, zi: jnp.ndarray, n: int,
     n1, n2 = _split(n)
     h = n // 2 + 1
     D1r, D1i, TWr, TWi, D2r, D2i = map(jnp.asarray, _dft_consts(n, True))
-    w = np.full(h, 2.0, np.float32) / n
-    w[0] = 1.0 / n
-    w[-1] = 1.0 / n
-    w = jnp.asarray(w)
+    w = jnp.asarray(hermitian_fold_weights(n))
     lead = zr.shape[:-1]
     # weighted half-spectrum, reshaped so k = j1*n2 + j2; rows of j1 past
     # the occupied prefix are identically zero and never touched
-    j1_used = h // n2 + 1                       # ceil over occupied rows
+    j1_used = min(-(-h // n2), n1)              # ceil over occupied rows
     pad = j1_used * n2 - h
     ar = jnp.pad(zr * w, [(0, 0)] * (zr.ndim - 1) + [(0, pad)])
     ai = jnp.pad(zi * w, [(0, 0)] * (zi.ndim - 1) + [(0, pad)])
@@ -133,6 +130,18 @@ def _inverse_real_output(zr: jnp.ndarray, zi: jnp.ndarray, n: int,
     Bi = Ar * TWi + Ai * TWr
     Cr = _MM("bks,st->bkt", Br, D2r) - _MM("bks,st->bkt", Bi, D2i)
     return Cr.transpose(0, 2, 1).reshape(*lead, n)
+
+
+def hermitian_fold_weights(n: int) -> np.ndarray:
+    """Per-bin weights [1, 2, ..., 2, 1]/n that fold the hermitian mirror
+    of an irfft input into its h = n/2+1 stored bins (so no reversed tail
+    is ever built — the miscompile-avoidance scheme shared by
+    _inverse_real_output and pallas_kernels/dft_pallas.py)."""
+    h = n // 2 + 1
+    w = np.full(h, 2.0, np.float32) / n
+    w[0] = 1.0 / n
+    w[-1] = 1.0 / n
+    return w
 
 
 def _use_native() -> bool:
@@ -158,7 +167,9 @@ def rfft(x: jnp.ndarray, n: int | None = None,
         n = x.shape[-1]
     if _use_native() or (n & (n - 1)) or x.dtype == jnp.float64:
         return jnp.fft.rfft(x, n=n)     # f64 callers keep full precision
-    if x.shape[-1] != n:
+    if x.shape[-1] > n:
+        x = x[..., :n]                  # jnp.fft.rfft truncation semantics
+    elif x.shape[-1] < n:
         pad = [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])]
         x = jnp.pad(x, pad)
     re, im = _stages_real_input(x.astype(jnp.float32), n, inverse=False,

@@ -205,12 +205,10 @@ def irfft_fused(zr: jnp.ndarray, zi: jnp.ndarray, n: int):
     """Inverse rfft from the h = n/2+1 hermitian bins (zr, zi) — real
     float32 output (..., n).  The hermitian mirror is folded into per-bin
     weights + zero-padding (never a reverse; see module docstring)."""
+    from ..core.matfft import hermitian_fold_weights
     n1 = n // _N2
     h = n // 2 + 1
-    w = np.full(h, 2.0, np.float32) / n
-    w[0] = 1.0 / n
-    w[-1] = 1.0 / n
-    wj = jnp.asarray(w)
+    wj = jnp.asarray(hermitian_fold_weights(n))
     lead = zr.shape[:-1]
     zr2 = (zr.reshape(-1, h) * wj).astype(_F32)
     zi2 = (zi.reshape(-1, h) * wj).astype(_F32)

@@ -202,8 +202,8 @@ def pad_signal(sig_batch: np.ndarray, fft_len: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # OLA kernel
 
-def _ola_kernel(start_ref, nfrms_ref, wl_ref, wr_ref, frm_ref, out_ref,
-                *, fft_len: int, anti_ring: bool):
+def _ola_body(start_ref, nfrms_ref, wl_ref, wr_ref, frm_ref, out_ref,
+              *, fft_len: int, anti_ring: bool):
     b = pl.program_id(0)
     ft = pl.program_id(1)
     N = fft_len
@@ -224,8 +224,8 @@ def _ola_kernel(start_ref, nfrms_ref, wl_ref, wr_ref, frm_ref, out_ref,
             v = frm_ref[:, j, :]
             if anti_ring:
                 # anti-ringing window fused into the scatter
-                # (magphase.py:968-973): saves one full (B, F, N) HBM
-                # round trip vs a separate windowing pass
+                # (magphase.py:968-973); measured slower than a separate
+                # batched windowing pass, see ola_pallas docstring
                 p = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
                 v = v * WIN.centr_win_value(
                     p, wl_ref[b, f], wr_ref[b, f], N, WIN.RAISED_HANNING,
@@ -236,6 +236,17 @@ def _ola_kernel(start_ref, nfrms_ref, wl_ref, wr_ref, frm_ref, out_ref,
             fr = pltpu.roll(fp, r, 1)         # fr[i] = fp[i - r]
             W = out_ref[0, :, pl.ds(base, 2 * N)]
             out_ref[0, :, pl.ds(base, 2 * N)] = W + fr
+
+
+def _ola_kernel(start_ref, nfrms_ref, frm_ref, out_ref, *, fft_len: int):
+    _ola_body(start_ref, nfrms_ref, None, None, frm_ref, out_ref,
+              fft_len=fft_len, anti_ring=False)
+
+
+def _ola_ar_kernel(start_ref, nfrms_ref, wl_ref, wr_ref, frm_ref, out_ref,
+                   *, fft_len: int):
+    _ola_body(start_ref, nfrms_ref, wl_ref, wr_ref, frm_ref, out_ref,
+              fft_len=fft_len, anti_ring=True)
 
 
 @functools.partial(jax.jit,
@@ -251,26 +262,29 @@ def ola_pallas(frames, starts, nfrms, wl=None, wr=None, *, fft_len: int,
     Returns (B, out_len_pad) float32.
     """
     B, F, N = frames.shape
-    if wl is None:
-        wl = jnp.zeros(starts.shape, jnp.int32)
-    if wr is None:
-        wr = jnp.zeros(starts.shape, jnp.int32)
-    # four (b, F) scalar-prefetch operands; keep them under ~512 KB SMEM
-    b_max = max(1, (1 << 16) // F)
+    if anti_ring:
+        # four (b, F) scalar-prefetch operands; keep under ~512 KB SMEM
+        b_max = max(1, (1 << 16) // F)
+        return _chunked_over_batch(
+            functools.partial(_ola_pallas_call, fft_len=fft_len,
+                              out_len_pad=out_len_pad, anti_ring=True),
+            b_max, frames, starts, nfrms, wl, wr)
+    # default path: two prefetch operands only (no dead wl/wr traffic)
+    b_max = max(1, (1 << 17) // F)
     return _chunked_over_batch(
         functools.partial(_ola_pallas_call, fft_len=fft_len,
-                          out_len_pad=out_len_pad, anti_ring=anti_ring),
-        b_max, frames, starts, nfrms, wl, wr)
+                          out_len_pad=out_len_pad, anti_ring=False),
+        b_max, frames, starts, nfrms)
 
 
-def _ola_pallas_call(frames, starts, nfrms, wl, wr, *, fft_len: int,
-                     out_len_pad: int, anti_ring: bool):
+def _ola_pallas_call(frames, starts, nfrms, wl=None, wr=None, *,
+                     fft_len: int, out_len_pad: int, anti_ring: bool):
     B, F, N = frames.shape
     assert F % TILE_F == 0
     assert out_len_pad % LANE == 0
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=4 if anti_ring else 2,
         grid=(B, F // TILE_F),
         in_specs=[
             pl.BlockSpec((1, TILE_F, N), lambda b, ft, *_: (b, ft, 0),
@@ -280,12 +294,16 @@ def _ola_pallas_call(frames, starts, nfrms, wl, wr, *, fft_len: int,
                                lambda b, ft, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
     )
-    kern = functools.partial(_ola_kernel, fft_len=fft_len,
-                             anti_ring=anti_ring)
+    if anti_ring:
+        kern = functools.partial(_ola_ar_kernel, fft_len=fft_len)
+        args = (starts, nfrms, wl, wr, frames)
+    else:
+        kern = functools.partial(_ola_kernel, fft_len=fft_len)
+        args = (starts, nfrms, frames)
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, 1, out_len_pad), jnp.float32),
         interpret=_use_interpret(),
-    )(starts, nfrms, wl, wr, frames)
+    )(*args)
     return out[:, 0, :]

@@ -55,3 +55,20 @@ def test_disabled_matches_exactly(monkeypatch):
     got = np.asarray(matfft.rfft(jnp.asarray(x)))
     ref = np.asarray(jnp.fft.rfft(jnp.asarray(x)))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_rfft_truncation_and_small_n(monkeypatch):
+    """jnp.fft.rfft semantics at the edges of the matmul path: n smaller
+    than the input truncates; tiny power-of-two n works (review findings)."""
+    monkeypatch.setenv("MAGPHASE_MATFFT", "1")
+    rng = np.random.RandomState(4)
+    x = rng.randn(3, 4096).astype(np.float32)
+    got = np.asarray(matfft.rfft(jnp.asarray(x), n=2048))
+    ref = np.fft.rfft(x, n=2048)
+    assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 1e-5
+
+    for n in (2, 4, 256):
+        z = (rng.randn(3, n // 2 + 1) + 1j * rng.randn(3, n // 2 + 1))
+        z = z.astype(np.complex64)
+        y = np.asarray(matfft.irfft(jnp.asarray(z), n=n))
+        np.testing.assert_allclose(y, np.fft.irfft(z, n=n), atol=1e-5)
