@@ -262,23 +262,59 @@ def _fmix32(x):
     return x
 
 
-def hash_noise_uniform(keys, n: int):
-    """(B, 2) uint32 keys -> (B, n) float32 white noise in [-1, 1).
+def hash_noise_at(keys, idx: jnp.ndarray):
+    """Stateless white noise in [-1, 1) at absolute sample indices.
 
-    Stateless counter-mode hash: sample (b, i) depends only on
-    (keys[b], i), never on B or n, so per-utterance noise is invariant to
-    batch padding/bucketing (the property test_batch_matches_single
-    asserts).  Two murmur finaliser rounds with the second key word mixed
+    keys (B, 2) uint32; idx (B, ...) integer sample positions.  Sample
+    (b, i) depends only on (keys[b], i) — never on batch size, padding, or
+    where the index tensor came from — so per-utterance noise is invariant
+    to batch bucketing (test_batch_matches_single) AND identical whether
+    drawn as a contiguous buffer or evaluated directly at gathered frame
+    positions.  Two murmur finaliser rounds with the second key word mixed
     between them give full avalanche from both the index and the key.
     """
-    idx = jnp.arange(n, dtype=jnp.uint32)[None, :]
-    k0 = keys[:, 0].astype(jnp.uint32)[:, None]
-    k1 = keys[:, 1].astype(jnp.uint32)[:, None]
-    x = _fmix32(idx ^ k0)
+    k0 = keys[:, 0].astype(jnp.uint32).reshape(
+        (-1,) + (1,) * (idx.ndim - 1))
+    k1 = keys[:, 1].astype(jnp.uint32).reshape(
+        (-1,) + (1,) * (idx.ndim - 1))
+    x = _fmix32(idx.astype(jnp.uint32) ^ k0)
     x = _fmix32(x ^ k1)
     # top 24 bits -> [0, 1) at float32-exact spacing -> [-1, 1)
     return ((x >> 8).astype(jnp.float32) * jnp.float32(2.0 / (1 << 24))
             - jnp.float32(1.0))
+
+
+def hash_noise_uniform(keys, n: int):
+    """(B, 2) uint32 keys -> (B, n) float32 white noise in [-1, 1)."""
+    return hash_noise_at(keys, jnp.arange(n, dtype=jnp.uint32)[None, :])
+
+
+def _noise_frames_direct(keys, pm, nfrms, ns_len, fft_len: int,
+                         fam_voiced: int, fam_unvoiced: int, voi, dtype):
+    """Windowed pitch-sync NOISE frames computed directly in frame space.
+
+    Because the excitation is a stateless hash of the absolute sample
+    index, the (B, ns_len) noise buffer of the reference formulation
+    (magphase.py:879-897) never needs to exist: each frame element is
+    hash(key, left_lim + q) * win(q), with exactly the geometry of
+    core/framing.py:pitch_sync_frames (delay-compensated layout,
+    q = (p + L) mod fft_len, index clip to [0, ns_len-1]).  Values are
+    bit-identical to framing the buffer; it just skips materialising and
+    re-gathering ~(B, 80k) samples through HBM.
+    """
+    from ..core import framing as F
+    from ..core import windows as W
+    pm = jnp.clip(pm, 0, ns_len[:, None] - 1)
+    left_lim, L, R, valid = F.frame_geometry_batch(pm, nfrms, ns_len)
+    p = jnp.arange(fft_len)[None, None, :]
+    q = (p + L[..., None]) % fft_len
+    framelen = L + R + 1
+    in_frame = (q < framelen[..., None]) & valid[..., None]
+    idx = jnp.clip(left_lim[..., None] + q, 0, ns_len[:, None, None] - 1)
+    vals = hash_noise_at(keys, idx).astype(dtype)
+    win = W.asym_win_value_select(q, L[..., None], R[..., None],
+                                  voi[..., None], fam_voiced, fam_unvoiced)
+    return jnp.where(in_frame, vals * win.astype(dtype), 0.0)
 
 
 def synthesis_core_batch(m_mag, m_real, m_imag, v_voi, pm, shifts, nfrms,
@@ -316,12 +352,21 @@ def synthesis_core_batch(m_mag, m_real, m_imag, v_voi, pm, shifts, nfrms,
     # RngBitGenerator draws change with batch shape); threefry holds it but
     # burns ~60 VPU ops/sample.  This stateless murmur-style counter hash
     # holds it at ~12 ops/sample (whiteness asserted in
-    # tests/test_compressed.py::test_hash_noise_whiteness).
-    v_ns = hash_noise_uniform(keys, ns_len_max).astype(dtype)
-    m_frm_ns, _, _, _ = framing.pitch_sync_frames_batch(
-        v_ns, pm, nfrms, ns_len, fft_len,
-        win_family=(VOI_NOISE if b_voi_ap_win else HANNING),
-        voiced=voi, win_family_unvoiced=HANNING)
+    # tests/test_compressed.py::test_hash_noise_whiteness) — and, being a
+    # pure function of the absolute sample index, the windowed noise
+    # FRAMES are computed directly in frame space (bit-identical values,
+    # no (B, ns_len) buffer materialised and re-gathered through HBM;
+    # MAGPHASE_NOISE_BUFFER=1 restores the buffer+gather form for A/B)
+    if os.environ.get("MAGPHASE_NOISE_BUFFER"):
+        v_ns = hash_noise_uniform(keys, ns_len_max).astype(dtype)
+        m_frm_ns, _, _, _ = framing.pitch_sync_frames_batch(
+            v_ns, pm, nfrms, ns_len, fft_len,
+            win_family=(VOI_NOISE if b_voi_ap_win else HANNING),
+            voiced=voi, win_family_unvoiced=HANNING)
+    else:
+        m_frm_ns = _noise_frames_direct(
+            keys, pm, nfrms, ns_len, fft_len,
+            (VOI_NOISE if b_voi_ap_win else HANNING), HANNING, voi, dtype)
     m_ns_cmplx = matfft.rfft(m_frm_ns)
 
     # --- noise gain normalisation (899-906): sqrt(exp(mean(log|NS|_mid^2)))

@@ -279,3 +279,35 @@ def test_hash_noise_whiteness():
     # draw-size invariance (the batch==single property)
     y = np.asarray(hash_noise_uniform(jnp.asarray(keys[:1]), n // 4))
     assert np.array_equal(y[0], x[0, :n // 4])
+
+
+def test_noise_frames_direct_equals_buffer_and_gather():
+    """Frame-space hash noise (_noise_frames_direct) must be bit-identical
+    to materialising the (B, ns_len) buffer and framing it — the property
+    that lets synthesis skip the buffer entirely."""
+    from magphase_tpu.core import framing
+    from magphase_tpu.core.windows import HANNING, VOI_NOISE
+    from magphase_tpu.vocoder.compressed import (_noise_frames_direct,
+                                                 hash_noise_uniform)
+
+    rng = np.random.RandomState(5)
+    B, F, fft_len = 3, 32, 512
+    shifts = rng.randint(60, 120, (B, F))
+    pm = np.cumsum(shifts, axis=1).astype(np.int32)
+    nfrms = np.asarray([F, F - 3, F - 7], np.int32)
+    ns_len = np.asarray([pm[b, nfrms[b] - 1] + 150 for b in range(B)],
+                        np.int32)
+    NS = int(ns_len.max()) + 64
+    voi = (rng.rand(B, F) > 0.4)
+    keys = np.asarray(jax.random.split(jax.random.PRNGKey(11), B))
+
+    v_ns = hash_noise_uniform(jnp.asarray(keys), NS)
+    ref, _, _, _ = framing.pitch_sync_frames_batch(
+        v_ns, jnp.asarray(pm), jnp.asarray(nfrms), jnp.asarray(ns_len),
+        fft_len, win_family=VOI_NOISE, voiced=jnp.asarray(voi),
+        win_family_unvoiced=HANNING)
+    got = _noise_frames_direct(
+        jnp.asarray(keys), jnp.asarray(pm), jnp.asarray(nfrms),
+        jnp.asarray(ns_len), fft_len, VOI_NOISE, HANNING,
+        jnp.asarray(voi), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
