@@ -150,18 +150,12 @@ def place_epochs_kernel(y_snap, f0, voiced, n_sig, n_frames=None, *,
     return marks, flags, n_marks
 
 
-def track_and_place_one(sig, n_sig, n_frames, *, fs: int,
-                        n_frames_max: int, m_max: int):
-    """One utterance, fully on device: preprocess -> NCCF -> Viterbi ->
-    epoch walk.  Returns (marks[m_max] samples, flags[m_max], n_marks).
-
-    The device half of epochs/tracker.py:extract_epochs — vmap over the
-    batch axis and call under an enclosing jit (it is not jitted here).
-    """
+def _track_one(sig, n_frames, *, fs: int, n_frames_max: int):
+    """Device tracking for one utterance: preprocess -> NCCF -> Viterbi.
+    Returns the walk inputs (y_snap, f0, voiced) — vmap over the batch."""
     from . import tracker
 
-    fs_a, dec = tracker.analysis_rate(fs)
-    frame_step = round(tracker.FRAME_STEP_S * fs_a) * dec
+    fs_a, _dec = tracker.analysis_rate(fs)
     xa, y_snap = tracker._preprocess(sig, fs=fs)
     nccf, valid = tracker._nccf(xa, n_frames, n_frames_max=n_frames_max,
                                 fs_a=fs_a)
@@ -173,6 +167,62 @@ def track_and_place_one(sig, n_sig, n_frames, *, fs: int,
         lags, jnp.clip(states, 0, tracker.N_CAND - 1)[:, None], axis=1)[:, 0]
     f0 = jnp.where(voiced & (lag_sel > 0),
                    fs_a / jnp.maximum(lag_sel, 1.0), 0.0)
-    return place_epochs_kernel(y_snap, f0, voiced.astype(jnp.float32),
-                               n_sig, n_frames, fs=fs, m_max=m_max,
-                               frame_step=float(frame_step))
+    return y_snap, f0, voiced.astype(jnp.float32)
+
+
+def _walk_frame_step(fs: int) -> float:
+    from . import tracker
+
+    fs_a, dec = tracker.analysis_rate(fs)
+    return float(round(tracker.FRAME_STEP_S * fs_a) * dec)
+
+
+def _use_walk_pallas() -> bool:
+    import os
+    if os.environ.get("MAGPHASE_DISABLE_PALLAS"):
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def place_epochs_batch(y_snap, f0, voiced, n_sigs, n_frames, *, fs: int,
+                       m_max: int, frame_step: float):
+    """Batched epoch walk: Pallas on TPU (VMEM-resident snap signal,
+    per-utterance early exit — see pallas_kernels/walk_pallas.py),
+    the vmapped lax.while_loop kernel elsewhere.  Sample-exact equals."""
+    if _use_walk_pallas():
+        from ..pallas_kernels.walk_pallas import place_epochs_pallas
+
+        return place_epochs_pallas(
+            y_snap, f0, voiced, n_sigs, n_frames, fs=fs, m_max=m_max,
+            frame_step=frame_step, snap_w=_snap_win(fs))
+    walk = functools.partial(place_epochs_kernel, fs=fs, m_max=m_max,
+                             frame_step=frame_step)
+    return jax.vmap(walk)(y_snap, f0, voiced, n_sigs, n_frames)
+
+
+def track_and_place_batch(sigs, n_sigs, n_frames, *, fs: int,
+                          n_frames_max: int, m_max: int):
+    """Batched tracking + epoch placement, fully on device.  Call under
+    an enclosing jit.  Returns (marks (B, m_max), flags, n_marks)."""
+    y_snap, f0, voiced = jax.vmap(functools.partial(
+        _track_one, fs=fs, n_frames_max=n_frames_max))(sigs, n_frames)
+    return place_epochs_batch(y_snap, f0, voiced, n_sigs, n_frames,
+                              fs=fs, m_max=m_max,
+                              frame_step=_walk_frame_step(fs))
+
+
+def track_and_place_one(sig, n_sig, n_frames, *, fs: int,
+                        n_frames_max: int, m_max: int):
+    """One utterance, fully on device: preprocess -> NCCF -> Viterbi ->
+    epoch walk.  Returns (marks[m_max] samples, flags[m_max], n_marks).
+
+    The device half of epochs/tracker.py:extract_epochs.  Production
+    batches go through track_and_place_batch (Pallas walk on TPU); this
+    per-utterance form keeps the vmappable XLA walk for tests and
+    host-walk fallbacks.
+    """
+    y_snap, f0, voiced = _track_one(sig, n_frames, fs=fs,
+                                    n_frames_max=n_frames_max)
+    return place_epochs_kernel(y_snap, f0, voiced, n_sig, n_frames,
+                               fs=fs, m_max=m_max,
+                               frame_step=_walk_frame_step(fs))

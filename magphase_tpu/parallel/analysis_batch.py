@@ -17,7 +17,7 @@ import numpy as np
 
 from ..config import define_alpha, define_crossfade_params, define_fft_len
 from ..epochs import tracker
-from ..epochs.placement_device import placement_m_max, track_and_place_one
+from ..epochs.placement_device import placement_m_max, track_and_place_batch
 from ..utils.padding import (FRM_STEP, MAX_FRAME_ELEMS, bucket,
                              bucket_frames, bucket_signal, pad_to)
 from ..vocoder.compressed import (
@@ -204,10 +204,9 @@ def _fused_track_lossless_kernel(sigs, n_sigs, n_frames, *, fs: int,
     from ..vocoder.lossless import analysis_core_batch
 
     sigs = _sigs_f32(sigs)
-    track_one = functools.partial(
-        track_and_place_one, fs=fs,
-        n_frames_max=n_frames_max, m_max=m_max)
-    marks, flags, n_marks = jax.vmap(track_one)(sigs, n_sigs, n_frames)
+    marks, flags, n_marks = track_and_place_batch(
+        sigs, n_sigs, n_frames, fs=fs, n_frames_max=n_frames_max,
+        m_max=m_max)
     mag, real, imag, _f0, shift = analysis_core_batch(
         sigs, marks, n_marks, n_sigs, flags, fft_len=fft_len, fs=fs)
     return mag, real, imag, shift, flags, n_marks
@@ -254,10 +253,9 @@ def _track_place_kernel(sigs, n_sigs, n_frames, *, fs: int,
                         n_frames_max: int, m_max: int):
     """Phase 1 of the two-phase production path: tracking + placement.
     Returns (marks, flags, n_marks) — stays on device."""
-    track_one = functools.partial(
-        track_and_place_one, fs=fs,
-        n_frames_max=n_frames_max, m_max=m_max)
-    return jax.vmap(track_one)(_sigs_f32(sigs), n_sigs, n_frames)
+    return track_and_place_batch(_sigs_f32(sigs), n_sigs, n_frames,
+                                 fs=fs, n_frames_max=n_frames_max,
+                                 m_max=m_max)
 
 
 @functools.partial(jax.jit, static_argnames=("fs", "fft_len", "F",

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..epochs import tracker
-from ..epochs.placement_device import track_and_place_one
+from ..epochs.placement_device import track_and_place_batch
 from ..utils.padding import bucket
 from ..vocoder.lossless import _analysis_kernel, _synthesis_kernel
 from .mesh import capped_batch_step, shard_batch
@@ -37,10 +37,9 @@ def _copy_synthesis_kernel(sigs, n_sigs, n_frames, *, fs: int,
     """(B, S) signals -> (B, out_len_max) resynthesised signals + stats."""
     from .analysis_batch import _sigs_f32
     sigs = _sigs_f32(sigs)
-    track_one = functools.partial(
-        track_and_place_one, fs=fs,
-        n_frames_max=n_frames_max, m_max=m_max)
-    marks, flags, n_marks = jax.vmap(track_one)(sigs, n_sigs, n_frames)
+    marks, flags, n_marks = track_and_place_batch(
+        sigs, n_sigs, n_frames, fs=fs, n_frames_max=n_frames_max,
+        m_max=m_max)
 
     # batched analysis + synthesis (Pallas framing/OLA on TPU)
     from ..vocoder.lossless import analysis_core_batch, synthesis_core_batch

@@ -1,9 +1,16 @@
 #!/usr/bin/env python
-"""A/B the epoch-walk unroll factor on the real chip (scan-loop timing).
+"""A/B the epoch-walk implementations on the real chip (scan-loop timing).
 
-The walk while_loop executes ~max-marks bodies regardless of unroll; the
-unroll only amortises per-iteration overhead (batched cond + loop
-plumbing).  This sweeps _WALK_UNROLL and times the walk kernel alone.
+Modes: the Pallas walk (pallas_kernels/walk_pallas.py) and the vmapped
+while_loop walk at several _WALK_UNROLL factors (the unroll amortises
+per-iteration overhead; the loop executes ~max-marks bodies regardless).
+
+The checksum cross-check between modes can report a SMALL mismatch
+(O(10) over 9 iters): inside this synthetic scan program XLA lowers the
+f32 divides with a different reciprocal refinement than the Mosaic
+scalar unit, shifting an occasional trough window by one sample.  In
+the production fused kernels the two walks are bit-identical on chip
+(tools/walk_diag.py fused); a LARGE mismatch here still indicates a bug.
 """
 import functools
 import glob
@@ -60,20 +67,33 @@ def main():
 
     y_snap, f0, voiced = jax.block_until_ready(track(sigs_f, n_frames_d))
 
+    modes = [("pallas", 0)] + [("unroll", u) for u in (2, 4, 8, 16, 32)]
+    if "pallas" in sys.argv[1:]:
+        modes = [("pallas", 0), ("unroll", 8)]
+
     ref_marks = None
-    for unroll in (2, 4, 8, 16, 32):
+    for mode, unroll in modes:
         pd._WALK_UNROLL = unroll   # read at trace time; loop is re-jitted
                                    # fresh each pass (new function object)
 
-        @functools.partial(jax.jit, static_argnames=("iters",))
-        def loop(ys, f0a, voi, n_sigs, *, iters):
+        @functools.partial(jax.jit, static_argnames=("iters", "mode"))
+        def loop(ys, f0a, voi, n_sigs, n_frames, *, iters, mode):
             def body(acc, i):
-                walk = functools.partial(
-                    pd.place_epochs_kernel.__wrapped__, fs=fs,
-                    m_max=m_max, frame_step=float(frame_step))
-                marks, flags, n_marks = jax.vmap(walk)(
-                    ys.at[:, 0].set(i.astype(ys.dtype) * 1e-9), f0a, voi,
-                    n_sigs)
+                ysi = ys.at[:, 0].set(i.astype(ys.dtype) * 1e-9)
+                if mode == "pallas":
+                    from magphase_tpu.pallas_kernels.walk_pallas import \
+                        place_epochs_pallas
+                    marks, flags, n_marks = place_epochs_pallas(
+                        ysi, f0a, voi, n_sigs.astype(jnp.int32),
+                        n_frames.astype(jnp.int32), fs=fs, m_max=m_max,
+                        frame_step=float(frame_step),
+                        snap_w=pd._snap_win(fs))
+                else:
+                    walk = functools.partial(
+                        pd.place_epochs_kernel.__wrapped__, fs=fs,
+                        m_max=m_max, frame_step=float(frame_step))
+                    marks, flags, n_marks = jax.vmap(walk)(
+                        ysi, f0a, voi, n_sigs)
                 return acc + jnp.sum(n_marks) + jnp.sum(marks[:, ::128]), \
                     None
             acc, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(iters))
@@ -83,13 +103,15 @@ def main():
         for iters in (1, 9, 1, 9):
             t0 = time.perf_counter()
             v = int(jax.device_get(loop(y_snap, f0, voiced, n_sigs_d,
-                                        iters=iters)))
+                                        n_frames_d, iters=iters,
+                                        mode=mode)))
             times.setdefault(iters, []).append(time.perf_counter() - t0)
         dt = (min(times[9]) - min(times[1])) / 8.0
         if ref_marks is None:
             ref_marks = v
         ok = "ok" if v == ref_marks else f"MISMATCH {v} != {ref_marks}"
-        print(f"unroll {unroll:2d}: {dt*1e3:6.2f} ms  [{ok}]", flush=True)
+        tag = "pallas   " if mode == "pallas" else f"unroll {unroll:2d}"
+        print(f"{tag}: {dt*1e3:6.2f} ms  [{ok}]", flush=True)
 
 
 if __name__ == "__main__":
