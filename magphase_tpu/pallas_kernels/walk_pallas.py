@@ -46,7 +46,7 @@ def _use_interpret() -> bool:
 
 
 def _walk_kernel(f0_ref, voi_ref, nsig_ref, nfrm_ref, sig_ref,
-                 marks_ref, flags_ref, nm_ref, marks_sc, flags_sc, *,
+                 marks_ref, nm_ref, marks_sc, *,
                  fs: int, m_max: int, frame_step: float, snap_w: int):
     b = pl.program_id(0)
     S = sig_ref.shape[-1]
@@ -57,7 +57,6 @@ def _walk_kernel(f0_ref, voi_ref, nsig_ref, nfrm_ref, sig_ref,
     p_max = fs / 50.0        # tracker F0_MIN clip (placement_device.py)
 
     marks_sc[...] = jnp.zeros_like(marks_sc)
-    flags_sc[...] = jnp.zeros_like(flags_sc)
 
     pos0 = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
     lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
@@ -79,19 +78,23 @@ def _walk_kernel(f0_ref, voi_ref, nsig_ref, nfrm_ref, sig_ref,
         lo = t + p_lo
         hi = jnp.minimum(n_sig - 1, t + p_hi)
 
-        # aligned W-wide window covering [lo, hi): base <= lo (clamped at
-        # the signal tail), absolute-position mask instead of a lane
-        # rotation; first-minimum tie-break = min position among minima,
-        # matching jnp.argmin in the XLA kernel
-        base = jnp.clip((lo // LANE) * LANE, 0, S - W)
-        base = pl.multiple_of(base, LANE)
-        w = sig_ref[0, :, pl.ds(base, W)]
-        pos = base + pos0
-        vals = jnp.where((pos >= lo) & (pos < hi), w, jnp.inf)
-        mn = jnp.min(vals)
-        nxt_voi = jnp.min(jnp.where(vals == mn, pos, S))
+        def trough(_):
+            # aligned W-wide window covering [lo, hi): base <= lo (clamped
+            # at the signal tail), absolute-position mask instead of a
+            # lane rotation; first-minimum tie-break = min position among
+            # minima, matching jnp.argmin in the XLA kernel
+            base = jnp.clip((lo // LANE) * LANE, 0, S - W)
+            base = pl.multiple_of(base, LANE)
+            w = sig_ref[0, :, pl.ds(base, W)]
+            pos = base + pos0
+            vals = jnp.where((pos >= lo) & (pos < hi), w, jnp.inf)
+            mn = jnp.min(vals)
+            return jnp.min(jnp.where(vals == mn, pos, S))
 
-        nxt = jnp.where(is_voi, nxt_voi, t + unv_step)
+        # branch, not select: the scalar core skips the window load and
+        # VPU min (plus the slow vector->scalar extractions) for every
+        # unvoiced step
+        nxt = jax.lax.cond(is_voi, trough, lambda _: t + unv_step, None)
         min_adv = jnp.where(is_voi, jnp.maximum(1, p_lo), 1)
         nxt = jnp.where(nxt <= prev, prev + min_adv, nxt)
         ok = (~done) & (nxt < n_sig - 1) & (hi > lo + 1) & \
@@ -99,14 +102,14 @@ def _walk_kernel(f0_ref, voi_ref, nsig_ref, nfrm_ref, sig_ref,
 
         @pl.when(ok)
         def _():
+            # ONE read-modify-write per mark: the voicing flag rides in
+            # the LSB (packed = mark*2 + is_voi, unpacked by the wrapper)
             row = n_marks // LANE
             lane = n_marks % LANE
+            packed = nxt * 2 + is_voi.astype(jnp.int32)
             mrow = marks_sc[pl.ds(row, 1), :]
-            marks_sc[pl.ds(row, 1), :] = jnp.where(lane_i == lane, nxt,
+            marks_sc[pl.ds(row, 1), :] = jnp.where(lane_i == lane, packed,
                                                    mrow)
-            frow = flags_sc[pl.ds(row, 1), :]
-            flags_sc[pl.ds(row, 1), :] = jnp.where(
-                lane_i == lane, is_voi.astype(jnp.float32), frow)
 
         n_marks = jnp.where(ok, n_marks + 1, n_marks)
         prev = jnp.where(ok, nxt, prev)
@@ -117,7 +120,6 @@ def _walk_kernel(f0_ref, voi_ref, nsig_ref, nfrm_ref, sig_ref,
     (_, n_marks, _, _) = jax.lax.while_loop(cond, body, init)
 
     marks_ref[0] = marks_sc[...]
-    flags_ref[0] = flags_sc[...]
     nm_ref[b] = n_marks
 
 
@@ -135,8 +137,6 @@ def _walk_pallas_call(y_snap, f0, voiced, n_sigs, n_frames, *, fs: int,
         out_specs=(
             pl.BlockSpec((1, m_rows, LANE), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m_rows, LANE), lambda b, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
             # whole-array SMEM block (Mosaic rejects sub-(8,128) blocks):
             # every program writes its own element
             pl.BlockSpec((B,), lambda b, *_: (0,),
@@ -144,22 +144,21 @@ def _walk_pallas_call(y_snap, f0, voiced, n_sigs, n_frames, *, fs: int,
         ),
         scratch_shapes=[
             pltpu.VMEM((m_rows, LANE), jnp.int32),
-            pltpu.VMEM((m_rows, LANE), jnp.float32),
         ],
     )
     kern = functools.partial(_walk_kernel, fs=fs, m_max=m_max,
                              frame_step=frame_step, snap_w=snap_w)
-    marks, flags, nm = pl.pallas_call(
+    packed, nm = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((B, m_rows, LANE), jnp.int32),
-            jax.ShapeDtypeStruct((B, m_rows, LANE), jnp.float32),
             jax.ShapeDtypeStruct((B,), jnp.int32),
         ),
         interpret=_use_interpret(),
     )(f0, voiced, n_sigs, n_frames, y_snap[:, None, :])
-    return (marks.reshape(B, m_max), flags.reshape(B, m_max), nm)
+    packed = packed.reshape(B, m_max)
+    return (packed >> 1, (packed & 1).astype(jnp.float32), nm)
 
 
 @functools.partial(jax.jit, static_argnames=("fs", "m_max", "frame_step",
