@@ -102,8 +102,17 @@ def worker_synth():
 
     utts = _load_utts()
     key = jax.random.PRNGKey(0)
+    # MAGPHASE_TRANSPORT=int8 halves the dominant feature upload via the
+    # per-(utt, coeff) affine encoding (quantise_feats; measured quality
+    # perturbation ~0.26 dB MSD, 40x below the ~10 dB MSD between two
+    # noise keys — tests/test_transfer_encodings.py).  Defaults to f16:
+    # repeated A/Bs on this tunnel showed no reliable E2E win because the
+    # async upload path is not bandwidth-model-shaped under contention
+    # (all dtypes collapse to ~1 MB/s fire-and-forget in bad windows
+    # while sync transfers sustain ~60 MB/s; tools notes in DESIGN.md).
+    transport = os.environ.get("MAGPHASE_TRANSPORT", "f16")
     bufs, out_lens = synthesis_from_compressed_batch(
-        utts, FS, key=key, block_result=False)
+        utts, FS, key=key, block_result=False, transport=transport)
     jax.block_until_ready(bufs)          # compile happens regardless
     audio_s_iter = float(sum(out_lens)) / FS
 
@@ -125,7 +134,8 @@ def worker_synth():
         t0 = time.perf_counter()
         for i in range(ITERS):
             bufs, _ = synthesis_from_compressed_batch(
-                utts, FS, key=jax.random.PRNGKey(i), block_result=False)
+                utts, FS, key=jax.random.PRNGKey(i), block_result=False,
+                transport=transport)
         v = float(jax.device_get(probe(bufs)))      # drains the queue
         dt = time.perf_counter() - t0
     assert np.isfinite(v), "synthesis: non-finite or silent output"

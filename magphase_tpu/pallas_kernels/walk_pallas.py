@@ -172,6 +172,7 @@ def place_epochs_pallas(y_snap, f0, voiced, n_sigs, n_frames, *, fs: int,
     """
     assert y_snap.shape[1] % LANE == 0
     assert y_snap.shape[1] >= snap_w + LANE
+    assert y_snap.shape[1] < (1 << 30)   # packed mark = pos*2 + flag
     assert m_max % LANE == 0
     B, T = f0.shape
     n_sigs = n_sigs.astype(jnp.int32)

@@ -76,3 +76,55 @@ def test_int16_signal_rows_roundtrip():
 
     rows = assemble_signal_rows([sig + 1e-9], 1, len(sig))
     assert rows.dtype == np.float32
+
+
+def test_quantise_feats_error_bound():
+    """Dequantisation error <= scale/2 on every valid row/coefficient."""
+    from magphase_tpu.parallel.batch import quantise_feats
+
+    rng = np.random.RandomState(7)
+    B, F, D = 3, 50, 12
+    x = (rng.randn(B, F, D) * np.linspace(0.5, 20, D)).astype(np.float16)
+    nfrms = np.asarray([50, 17, 1])
+    q, scale, zp = quantise_feats(x, nfrms)
+    assert q.dtype == np.uint8 and scale.shape == (B, D)
+    deq = q.astype(np.float32) * scale[:, None, :] + zp[:, None, :]
+    for b in range(B):
+        n = nfrms[b]
+        err = np.abs(deq[b, :n] - x[b, :n].astype(np.float32))
+        assert np.all(err <= scale[b][None, :] * 0.5 + 1e-6), err.max()
+    # constant column -> scale guard, exact round trip
+    xc = np.full((1, 4, 2), 3.25, np.float16)
+    q, scale, zp = quantise_feats(xc, np.asarray([4]))
+    deq = q.astype(np.float32) * scale[:, None, :] + zp[:, None, :]
+    np.testing.assert_allclose(deq, 3.25)
+
+
+def test_int8_transport_synthesis_negligible():
+    """int8 feature transport: output within a fraction of the noise-
+    realisation variance (measured: ~0.26 dB MSD vs the f16 transport at
+    the SAME key, while changing only the key moves ~10 dB MSD)."""
+    import os
+    import jax
+    from magphase_tpu.io import read_binfile
+    from magphase_tpu.parallel.batch import synthesis_from_compressed_batch
+    from magphase_tpu.utils.eval import mel_spectral_distortion
+
+    pred = "/root/reference/demos/data_48k/params_predicted"
+    toks = ["hvd_704", "hvd_706"]
+    utts = [(read_binfile(os.path.join(pred, t + ".mag"), 60),
+             read_binfile(os.path.join(pred, t + ".real"), 45),
+             read_binfile(os.path.join(pred, t + ".imag"), 45),
+             read_binfile(os.path.join(pred, t + ".lf0"), 1))
+            for t in toks]
+    key = jax.random.PRNGKey(3)
+    a = synthesis_from_compressed_batch(utts, 48000, key=key)
+    b = synthesis_from_compressed_batch(utts, 48000, key=key,
+                                        transport="int8")
+    for x, y in zip(a, b):
+        n = min(len(x), len(y))
+        rel = np.sqrt(np.mean((x[:n] - y[:n]) ** 2)) / \
+            np.sqrt(np.mean(x[:n] ** 2))
+        assert rel < 0.02, rel
+        msd = mel_spectral_distortion(x[:n], y[:n], 48000)
+        assert msd < 0.5, msd
