@@ -157,12 +157,23 @@ def _nccf(xa: jnp.ndarray, n_frames: jnp.ndarray, *, n_frames_max: int,
     seg_len = w + max_lag                           # 440
     nfft = 1 << int(np.ceil(np.log2(seg_len + 1)))  # 512
 
-    t = jnp.arange(n_frames_max) * step
     valid = jnp.arange(n_frames_max) < n_frames
 
-    idx = t[:, None] + jnp.arange(seg_len)[None, :]
-    idx = jnp.clip(idx, 0, xa.shape[0] - 1)
-    seg = jnp.take(xa, idx.reshape(-1)).reshape(idx.shape)
+    # Frame start t*step is stride-aligned, so the (T, seg_len) segment
+    # matrix is ceil(seg_len/step) shifted views of one (T+nj, step)
+    # reshape — no element gather.  Measured ~2.5% faster than the
+    # flattened jnp.take in the fused preprocess+NCCF+Viterbi context
+    # (tools/nccf_bench.py) and bit-identical on valid frames: frame
+    # geometry guarantees t*step + seg_len <= n_sig_a <= len(xa) for
+    # t < n_frames (see track_f0's n_frames formula), so the zero tail
+    # pad is only ever read by invalid frames.
+    nj = -(-seg_len // step)
+    need = (n_frames_max + nj) * step
+    pad = max(0, need - xa.shape[0])
+    xa_r = jnp.concatenate(
+        [xa, jnp.zeros(pad, xa.dtype)])[:need].reshape(-1, step)
+    seg = jnp.concatenate(
+        [xa_r[j:j + n_frames_max] for j in range(nj)], axis=1)[:, :seg_len]
 
     a = jnp.where(jnp.arange(seg_len)[None, :] < w, seg, 0.0)
     A = jnp.fft.rfft(a, n=nfft)
