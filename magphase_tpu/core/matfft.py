@@ -136,7 +136,7 @@ def hermitian_fold_weights(n: int) -> np.ndarray:
     """Per-bin weights [1, 2, ..., 2, 1]/n that fold the hermitian mirror
     of an irfft input into its h = n/2+1 stored bins (so no reversed tail
     is ever built — the miscompile-avoidance scheme shared by
-    _inverse_real_output and pallas_kernels/dft_pallas.py)."""
+    _inverse_real_output and tools/dft_pallas.py)."""
     h = n // 2 + 1
     w = np.full(h, 2.0, np.float32) / n
     w[0] = 1.0 / n

@@ -1,4 +1,3 @@
-from . import reaper_jax
 from .tracker import extract_epochs, track_f0, place_epochs
 
 
@@ -12,5 +11,5 @@ def get_pitch_marks(v_sig, fs: int):
     return extract_epochs(v_sig, fs)[0]
 
 
-__all__ = ["reaper_jax", "extract_epochs", "track_f0", "place_epochs",
+__all__ = ["extract_epochs", "track_f0", "place_epochs",
            "get_pitch_marks"]

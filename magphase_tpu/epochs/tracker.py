@@ -163,10 +163,14 @@ def _nccf(xa: jnp.ndarray, n_frames: jnp.ndarray, *, n_frames_max: int,
     # matrix is ceil(seg_len/step) shifted views of one (T+nj, step)
     # reshape — no element gather.  Measured ~2.5% faster than the
     # flattened jnp.take in the fused preprocess+NCCF+Viterbi context
-    # (tools/nccf_bench.py) and bit-identical on valid frames: frame
-    # geometry guarantees t*step + seg_len <= n_sig_a <= len(xa) for
-    # t < n_frames (see track_f0's n_frames formula), so the zero tail
-    # pad is only ever read by invalid frames.
+    # (tools/nccf_bench.py) and bit-identical on valid frames: for
+    # n_frames derived from track_f0's formula, t*step + seg_len <=
+    # n_sig_a <= len(xa) for t < n_frames, so the zero tail pad is only
+    # ever read by invalid frames.  Degenerate case: when the signal is
+    # shorter than seg_len*dec (~27.5 ms) the max(1, ...) in track_f0
+    # forces n_frames = 1 and frame 0's reads would overrun n_sig_a;
+    # there it is bucket_signal's minimum 32768-sample pad (not the
+    # frame formula) that keeps frame 0's reads inside xa.
     nj = -(-seg_len // step)
     need = (n_frames_max + nj) * step
     pad = max(0, need - xa.shape[0])

@@ -22,7 +22,8 @@ from ..utils.padding import (FRM_STEP, MAX_FRAME_ELEMS, bucket,
                              bucket_frames, bucket_signal, pad_to)
 from ..vocoder.compressed import (
     _format_kernel, get_num_full_mel_coeffs_from_num_phase_coeffs)
-from .mesh import budget_batch_cap, capped_batch_step, shard_batch
+from .mesh import (budget_batch_cap, capped_batch_step, shard_batch,
+                   sharded_kernel)
 
 
 @functools.partial(jax.jit, static_argnames=("fs", "n_frames_max"))
@@ -151,6 +152,15 @@ def _sigs_f32(sigs):
     return sigs
 
 
+def _run_kernel(jitted, impl, mesh, args, static_kw):
+    """Run a batched kernel: plain jit on one device, jit(shard_map(impl))
+    over the data mesh otherwise (communication-free by construction —
+    see parallel/mesh.py:sharded_kernel)."""
+    if mesh is None:
+        return jitted(*args, **static_kw)
+    return sharded_kernel(impl, mesh, len(args), static_kw)(*args)
+
+
 def _device_signal_batch(signals: list, fs: int, mesh=None,
                          fft_len: int = 4096):
     """Bucket/pad a list of signals for the fused tracker kernels.
@@ -189,9 +199,7 @@ def _trim_frames(arrs, *, n: int):
     return tuple(a[:, :n] for a in arrs)
 
 
-@functools.partial(jax.jit, static_argnames=("fs", "n_frames_max",
-                                             "m_max", "fft_len"))
-def _fused_track_lossless_kernel(sigs, n_sigs, n_frames, *, fs: int,
+def _fused_track_lossless_impl(sigs, n_sigs, n_frames, *, fs: int,
                                  n_frames_max: int, m_max: int,
                                  fft_len: int):
     """Tracking + epoch placement + lossless analysis in ONE device program.
@@ -210,6 +218,11 @@ def _fused_track_lossless_kernel(sigs, n_sigs, n_frames, *, fs: int,
     mag, real, imag, _f0, shift = analysis_core_batch(
         sigs, marks, n_marks, n_sigs, flags, fft_len=fft_len, fs=fs)
     return mag, real, imag, shift, flags, n_marks
+
+
+_fused_track_lossless_kernel = functools.partial(
+    jax.jit, static_argnames=("fs", "n_frames_max", "m_max", "fft_len"))(
+        _fused_track_lossless_impl)
 
 
 def _compress_streams(mag, real, imag, f0, *, mag_dim, phase_dim,
@@ -247,10 +260,8 @@ def _const_resample_batch(mag, real, imag, f0, pm, nfrms, *, crs: float,
     return jax.vmap(one)(mag, real, imag, f0, pm, nfrms)
 
 
-@functools.partial(jax.jit, static_argnames=("fs", "n_frames_max",
-                                             "m_max"))
-def _track_place_kernel(sigs, n_sigs, n_frames, *, fs: int,
-                        n_frames_max: int, m_max: int):
+def _track_place_impl(sigs, n_sigs, n_frames, *, fs: int,
+                      n_frames_max: int, m_max: int):
     """Phase 1 of the two-phase production path: tracking + placement.
     Returns (marks, flags, n_marks) — stays on device."""
     return track_and_place_batch(_sigs_f32(sigs), n_sigs, n_frames,
@@ -258,12 +269,12 @@ def _track_place_kernel(sigs, n_sigs, n_frames, *, fs: int,
                                  m_max=m_max)
 
 
-@functools.partial(jax.jit, static_argnames=("fs", "fft_len", "F",
-                                             "mag_dim", "phase_dim",
-                                             "mag_dim_ph", "alpha",
-                                             "alpha_phase", "fc_max",
-                                             "feats_f16"))
-def _analyze_compress_kernel(sigs, marks, flags, n_marks, n_sigs, *,
+_track_place_kernel = functools.partial(
+    jax.jit, static_argnames=("fs", "n_frames_max", "m_max"))(
+        _track_place_impl)
+
+
+def _analyze_compress_impl(sigs, marks, flags, n_marks, n_sigs, *,
                              fs: int, fft_len: int, F: int, mag_dim: int,
                              phase_dim: int, mag_dim_ph: int, alpha: float,
                              alpha_phase: float, fc_max: int = 0,
@@ -299,14 +310,23 @@ def _analyze_compress_kernel(sigs, marks, flags, n_marks, n_sigs, *,
     return mml, mrm, mim, lf0, shift, n_valid
 
 
-@functools.partial(jax.jit, static_argnames=("fft_len", "fs"))
-def _analysis_batch_jit(sigs, pm, nfrms, n_sig, voi, *, fft_len: int,
-                        fs: int):
-    # module-level jit: a per-call jax.jit(partial(...)) would recompile
-    # on every invocation (the partial is a fresh callable each time)
+_analyze_compress_kernel = functools.partial(
+    jax.jit, static_argnames=("fs", "fft_len", "F", "mag_dim", "phase_dim",
+                              "mag_dim_ph", "alpha", "alpha_phase",
+                              "fc_max", "feats_f16"))(_analyze_compress_impl)
+
+
+def _analysis_batch_impl(sigs, pm, nfrms, n_sig, voi, *, fft_len: int,
+                         fs: int):
     from ..vocoder.lossless import analysis_core_batch
     return analysis_core_batch(sigs, pm, nfrms, n_sig, voi,
                                fft_len=fft_len, fs=fs)
+
+
+# module-level jit: a per-call jax.jit(partial(...)) would recompile
+# on every invocation (the partial is a fresh callable each time)
+_analysis_batch_jit = functools.partial(
+    jax.jit, static_argnames=("fft_len", "fs"))(_analysis_batch_impl)
 
 
 def analysis_lossless_batch(signals: list, fs: int,
@@ -329,10 +349,10 @@ def analysis_lossless_batch(signals: list, fs: int,
         for group in _split_for_budget(signals, fs, fft_len, mesh):
             signals_g, dev, S, Tmax, m_max, n_real = _device_signal_batch(
                 group, fs, mesh, fft_len=fft_len)
-            mag, real, imag, shift, flags, n_marks = \
-                _fused_track_lossless_kernel(
-                    *dev, fs=fs, n_frames_max=Tmax, m_max=m_max,
-                    fft_len=fft_len)
+            mag, real, imag, shift, flags, n_marks = _run_kernel(
+                _fused_track_lossless_kernel, _fused_track_lossless_impl,
+                mesh, dev, dict(fs=fs, n_frames_max=Tmax, m_max=m_max,
+                                fft_len=fft_len))
             n_marks = np.asarray(jax.device_get(n_marks))
             Fa = min(m_max, bucket(int(n_marks.max()), FRM_STEP))
             mag, real, imag, shift, flags = jax.device_get(_trim_frames(
@@ -397,8 +417,10 @@ def analysis_lossless_batch(signals: list, fs: int,
         sigs_d, pm_d, nfrms_d, nsig_d, voi_d = shard_batch(
             mesh, sigs_d, pm_d, nfrms_d, nsig_d, voi_d)
 
-    mag, real, imag, _f0, shift = _analysis_batch_jit(
-        sigs_d, pm_d, nfrms_d, nsig_d, voi_d, fft_len=fft_len, fs=fs)
+    mag, real, imag, _f0, shift = _run_kernel(
+        _analysis_batch_jit, _analysis_batch_impl, mesh,
+        (sigs_d, pm_d, nfrms_d, nsig_d, voi_d),
+        dict(fft_len=fft_len, fs=fs))
     mag, real, imag, shift = jax.device_get((mag, real, imag, shift))
 
     out = []
@@ -410,11 +432,7 @@ def analysis_lossless_batch(signals: list, fs: int,
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("fft_len", "fs", "mag_dim",
-                                             "phase_dim", "mag_dim_ph",
-                                             "alpha", "alpha_phase",
-                                             "fc_max"))
-def _fused_compressed_kernel(sigs, pm, nfrms, n_sig, voi, *, fft_len, fs,
+def _fused_compressed_impl(sigs, pm, nfrms, n_sig, voi, *, fft_len, fs,
                              mag_dim, phase_dim, mag_dim_ph, alpha,
                              alpha_phase, fc_max: int = 0):
     """Analysis + mel-compression in ONE device program (epochs given).
@@ -438,6 +456,12 @@ def _fused_compressed_kernel(sigs, pm, nfrms, n_sig, voi, *, fft_len, fs,
         mag, real, imag, f0, mag_dim=mag_dim, phase_dim=phase_dim,
         mag_dim_ph=mag_dim_ph, alpha=alpha, alpha_phase=alpha_phase)
     return mml, mrm, mim, lf0, shift, n_valid
+
+
+_fused_compressed_kernel = functools.partial(
+    jax.jit, static_argnames=("fft_len", "fs", "mag_dim", "phase_dim",
+                              "mag_dim_ph", "alpha", "alpha_phase",
+                              "fc_max"))(_fused_compressed_impl)
 
 
 def analysis_compressed_batch(signals: list, fs: int, mag_dim: int = 60,
@@ -511,10 +535,12 @@ def analysis_compressed_batch(signals: list, fs: int, mag_dim: int = 60,
         sigs_d, pm_d, nfrms_d, nsig_d, voi_d = shard_batch(
             mesh, sigs_d, pm_d, nfrms_d, nsig_d, voi_d)
 
-    mml, mrm, mim, lf0, shift, n_valid = _fused_compressed_kernel(
-        sigs_d, pm_d, nfrms_d, nsig_d, voi_d, fft_len=fft_len, fs=fs,
-        mag_dim=mag_dim, phase_dim=phase_dim, mag_dim_ph=mag_dim_ph,
-        alpha=alpha, alpha_phase=alpha_phase, fc_max=fc_max_for(S))
+    mml, mrm, mim, lf0, shift, n_valid = _run_kernel(
+        _fused_compressed_kernel, _fused_compressed_impl, mesh,
+        (sigs_d, pm_d, nfrms_d, nsig_d, voi_d),
+        dict(fft_len=fft_len, fs=fs, mag_dim=mag_dim, phase_dim=phase_dim,
+             mag_dim_ph=mag_dim_ph, alpha=alpha, alpha_phase=alpha_phase,
+             fc_max=fc_max_for(S)))
     n_valid = np.asarray(jax.device_get(n_valid))
     Fa = bucket(int(n_valid.max()), FRM_STEP)
     mml, mrm, mim, lf0 = jax.device_get(_trim_frames(
@@ -567,8 +593,9 @@ def analysis_compressed_batch_async(signals: list, fs: int,
         fc_max = (bucket(int(np.ceil(S / (fs * 5.0 / 1000.0))), FRM_STEP)
                   if b_const_rate else 0)
         # phase 1 (async): tracking + placement at the worst-case capacity
-        marks, flags, n_marks = _track_place_kernel(
-            *dev, fs=fs, n_frames_max=Tmax, m_max=m_max)
+        marks, flags, n_marks = _run_kernel(
+            _track_place_kernel, _track_place_impl, mesh, dev,
+            dict(fs=fs, n_frames_max=Tmax, m_max=m_max))
 
         def start_phase2():
             # the only inter-phase host transfer: (B,) mark counts
@@ -580,12 +607,13 @@ def analysis_compressed_batch_async(signals: list, fs: int,
             # phase 2 (async): analysis + compression at the realised
             # bucket — dispatched before the PREVIOUS group's download so
             # the device computes through it
-            mml, mrm, mim, lf0, shift, n_valid = _analyze_compress_kernel(
-                dev[0], marks, flags, n_marks, dev[1], fs=fs,
-                fft_len=fft_len, F=Fa, mag_dim=mag_dim,
-                phase_dim=phase_dim, mag_dim_ph=mag_dim_ph, alpha=alpha,
-                alpha_phase=alpha_phase, fc_max=fc_max,
-                feats_f16=(np.dtype(feat_dtype) == np.float16))
+            mml, mrm, mim, lf0, shift, n_valid = _run_kernel(
+                _analyze_compress_kernel, _analyze_compress_impl, mesh,
+                (dev[0], marks, flags, n_marks, dev[1]),
+                dict(fs=fs, fft_len=fft_len, F=Fa, mag_dim=mag_dim,
+                     phase_dim=phase_dim, mag_dim_ph=mag_dim_ph,
+                     alpha=alpha, alpha_phase=alpha_phase, fc_max=fc_max,
+                     feats_f16=(np.dtype(feat_dtype) == np.float16)))
 
             def download():
                 if fc_max > 0:

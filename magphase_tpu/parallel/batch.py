@@ -31,23 +31,23 @@ from ..vocoder.compressed import (
     _unwarp_kernel, get_num_full_mel_coeffs_from_num_phase_coeffs,
     max_pitch_sync_framelen, synthesis_core_batch, synthesis_fft_len)
 from ..vocoder.postfilter import post_filter, post_filter_merlin
-from .mesh import budget_batch_cap, capped_batch_step, shard_batch
+from .mesh import (budget_batch_cap, capped_batch_step, shard_batch,
+                   sharded_kernel)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("fs", "fft_len", "alpha", "alpha_phase", "mag_dim",
-                     "phase_dim", "mag_dim_ph", "b_voi_ap_win",
-                     "per_phase_type", "out_len_max", "ns_len_max",
-                     "b_out_hpf", "pf_type"))
-def _fused_batch_kernel(feats, voi, pm, shifts, nfrms, ns_len, key,
-                        q_scale=None, q_zp=None, *,
-                        fs, fft_len, alpha, alpha_phase, mag_dim, phase_dim,
-                        mag_dim_ph, b_voi_ap_win, per_phase_type,
-                        out_len_max, ns_len_max, b_out_hpf, pf_type):
+def _fused_batch_impl(feats, voi, pm, shifts, nfrms, ns_len, keys,
+                      q_scale=None, q_zp=None, *,
+                      fs, fft_len, alpha, alpha_phase, mag_dim, phase_dim,
+                      mag_dim_ph, b_voi_ap_win, per_phase_type,
+                      out_len_max, ns_len_max, b_out_hpf, pf_type):
     """One dispatch for the whole batch: [post-filter] -> mel-unwarp ->
     synthesis core (Pallas framing/OLA on TPU) -> [40 Hz high-pass]
-    (magphase.py:825-997 + 3259-3268 batched)."""
+    (magphase.py:825-997 + 3259-3268 batched).
+
+    ``keys``: (B, 2) uint32 per-utterance noise keys.  Every operand is
+    batch-leading so the impl runs unchanged under shard_map (B = the
+    device-local batch there; see parallel/mesh.py:sharded_kernel).
+    """
     B, F, _D = feats.shape
     h = fft_len // 2 + 1
     # features arrive float16 (halves the host-link upload bytes) or uint8
@@ -70,7 +70,6 @@ def _fused_batch_kernel(feats, voi, pm, shifts, nfrms, ns_len, key,
         mag_mel, real_mel, imag_mel, fft_len=fft_len,
         mag_dim_ph=mag_dim_ph, alpha=alpha, alpha_phase=alpha_phase)
 
-    keys = jax.random.split(key, B)
     bufs = synthesis_core_batch(
         m_mag.reshape(B, F, h), m_real.reshape(B, F, h),
         m_imag.reshape(B, F, h), voi, pm, shifts, nfrms, ns_len, keys,
@@ -81,6 +80,22 @@ def _fused_batch_kernel(feats, voi, pm, shifts, nfrms, ns_len, key,
         sos = butter_highpass_sos(4, 40.0, fs)
         bufs = jax.vmap(lambda x: sosfilt(sos, x))(bufs)
     return bufs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fs", "fft_len", "alpha", "alpha_phase", "mag_dim",
+                     "phase_dim", "mag_dim_ph", "b_voi_ap_win",
+                     "per_phase_type", "out_len_max", "ns_len_max",
+                     "b_out_hpf", "pf_type"))
+def _fused_batch_kernel(feats, voi, pm, shifts, nfrms, ns_len, key,
+                        q_scale=None, q_zp=None, **static):
+    """Single-device jit of _fused_batch_impl (key split in-program; the
+    sharded path pre-splits the same key outside, so sharded == unsharded
+    per utterance)."""
+    keys = jax.random.split(key, feats.shape[0])
+    return _fused_batch_impl(feats, voi, pm, shifts, nfrms, ns_len, keys,
+                             q_scale, q_zp, **static)
 
 
 def quantise_feats(feats16: np.ndarray, nfrms: np.ndarray):
@@ -258,17 +273,26 @@ def synthesis_from_compressed_batch(utts, fs: int,
             jnp.asarray(shifts_b.astype(np.int32)),
             jnp.asarray(nfrms.astype(np.int32)),
             jnp.asarray(ns_lens.astype(np.int32)))
+    static_kw = dict(fs=fs, fft_len=fft_syn, alpha=alpha,
+                     alpha_phase=alpha_phase, mag_dim=mag_dim,
+                     phase_dim=phase_dim, mag_dim_ph=mag_dim_ph,
+                     b_voi_ap_win=b_voi_ap_win,
+                     per_phase_type=per_phase_type, out_len_max=O,
+                     ns_len_max=NS, b_out_hpf=b_out_hpf, pf_type=pf_type)
     if mesh is not None:
-        args = shard_batch(mesh, *args)
+        # shard_map over the data mesh: pre-split the per-utterance keys
+        # (bitwise-identical to the in-jit split of the unsharded path)
+        # and run the impl with every operand sharded on the batch axis —
+        # communication-free by construction (see mesh.sharded_kernel)
+        keys = jax.random.split(key, B)
+        sm_args = args + (keys,)
         if extra[0] is not None:
-            extra = shard_batch(mesh, *extra)
-
-    bufs = _fused_batch_kernel(
-        *args, key, *extra, fs=fs, fft_len=fft_syn, alpha=alpha,
-        alpha_phase=alpha_phase, mag_dim=mag_dim, phase_dim=phase_dim,
-        mag_dim_ph=mag_dim_ph, b_voi_ap_win=b_voi_ap_win,
-        per_phase_type=per_phase_type, out_len_max=O, ns_len_max=NS,
-        b_out_hpf=b_out_hpf, pf_type=pf_type)
+            sm_args = sm_args + extra
+        sm_args = shard_batch(mesh, *sm_args)
+        bufs = sharded_kernel(_fused_batch_impl, mesh, len(sm_args),
+                              static_kw)(*sm_args)
+    else:
+        bufs = _fused_batch_kernel(*args, key, *extra, **static_kw)
 
     if pcm16:
         assert not block_result, "pcm16 is a device transfer encoding"

@@ -36,6 +36,38 @@ def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
 
 
+_SHARDED_CACHE: dict = {}
+
+
+def sharded_kernel(impl, mesh: Mesh, n_args: int, static_kw: dict):
+    """jit(shard_map(impl)) over the 1-D data mesh, cached.
+
+    Vocoding is embarrassingly parallel per utterance, so every batched
+    kernel runs under shard_map with ALL operands (and outputs) sharded on
+    the leading batch axis — each device executes the whole pipeline on its
+    local batch rows and inter-device communication is impossible by
+    construction.  (Letting GSPMD partition the jit instead was measured to
+    ALL-GATHER every FFT operand — the partitioner has no batch-parallel
+    rule for the FFT op — replicating the dominant FLOPs on every device;
+    see __graft_entry__._dryrun_collectives_proof, which pins the compiled
+    HLO of these wrappers to contain zero collectives.)
+
+    The returned callable is cached on (impl, mesh, n_args, static items):
+    a fresh shard_map/jit per call would recompile every time (CLAUDE.md
+    design rule).  static_kw values must be hashable.
+    """
+    key = (impl, mesh, n_args, tuple(sorted(static_kw.items())))
+    fn = _SHARDED_CACHE.get(key)
+    if fn is None:
+        import functools
+        body = functools.partial(impl, **static_kw)
+        fn = jax.jit(jax.shard_map(
+            body, mesh=mesh, in_specs=tuple([P("data")] * n_args),
+            out_specs=P("data"), check_vma=False))
+        _SHARDED_CACHE[key] = fn
+    return fn
+
+
 def pad_batch_to_devices(n: int, n_devices: int) -> int:
     """Batch size padded to a multiple of the device count."""
     return int(np.ceil(n / n_devices)) * n_devices

@@ -256,8 +256,8 @@ def analysis_lossless(wav_file: str, fft_len: int | None = None,
             pm_sec, voi = est_io.read_reaper_est_file(
                 est_file, check_len_smpls=len(v_sig), fs=fs)
         else:
-            from ..epochs import reaper_jax
-            pm_sec, voi = reaper_jax.extract_epochs(v_sig, fs)
+            from .. import epochs
+            pm_sec, voi = epochs.extract_epochs(v_sig, fs)
 
     v_pm_smpls = np.asarray(pm_sec) * fs
     m_mag, m_real, m_imag, v_f0, v_shift = analysis_with_del_comp_from_pm(

@@ -615,8 +615,8 @@ def analysis_lossless_type2(wav_file: str, fft_len: int | None = None,
             pm_sec, voi = est_io.read_reaper_est_file(
                 est_file, check_len_smpls=len(v_sig), fs=fs)
         else:
-            from ..epochs import reaper_jax
-            pm_sec, voi = reaper_jax.extract_epochs(v_sig, fs)
+            from .. import epochs
+            pm_sec, voi = epochs.extract_epochs(v_sig, fs)
     v_pm = np.asarray(pm_sec) * fs
     voi = np.asarray(voi)
 

@@ -1,4 +1,4 @@
-"""Fused Pallas DFT kernels (experimental, pallas_kernels/dft_pallas.py).
+"""Fused Pallas DFT kernels (experimental, tools/dft_pallas.py).
 
 Not wired into production (measured slower than core/matfft.py's einsum
 formulation on v5e — see the module docstring) but kept correct: these
@@ -8,7 +8,13 @@ stays usable for future toolchains.
 import numpy as np
 import jax.numpy as jnp
 
-from magphase_tpu.pallas_kernels import dft_pallas as DP
+import importlib.util as _ilu
+import pathlib
+
+_spec = _ilu.spec_from_file_location(
+    "dft_pallas", pathlib.Path(__file__).resolve().parents[1] / "tools" / "dft_pallas.py")
+DP = _ilu.module_from_spec(_spec)
+_spec.loader.exec_module(DP)
 
 
 def test_rfft_fused_matches_numpy():

@@ -205,7 +205,7 @@ def irfft_fused(zr: jnp.ndarray, zi: jnp.ndarray, n: int):
     """Inverse rfft from the h = n/2+1 hermitian bins (zr, zi) — real
     float32 output (..., n).  The hermitian mirror is folded into per-bin
     weights + zero-padding (never a reverse; see module docstring)."""
-    from ..core.matfft import hermitian_fold_weights
+    from magphase_tpu.core.matfft import hermitian_fold_weights
     n1 = n // _N2
     h = n // 2 + 1
     wj = jnp.asarray(hermitian_fold_weights(n))
