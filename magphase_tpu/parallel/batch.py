@@ -30,6 +30,7 @@ from ..utils.padding import (FRM_STEP, MAX_FRAME_ELEMS, bucket,
 from ..vocoder.compressed import (
     _unwarp_kernel, get_num_full_mel_coeffs_from_num_phase_coeffs,
     max_pitch_sync_framelen, synthesis_core_batch, synthesis_fft_len)
+from ..vocoder.framerate import truncate_shifts
 from ..vocoder.postfilter import post_filter, post_filter_merlin
 from .mesh import (budget_batch_cap, capped_batch_step, shard_batch,
                    sharded_kernel)
@@ -82,20 +83,14 @@ def _fused_batch_impl(feats, voi, pm, shifts, nfrms, ns_len, keys,
     return bufs
 
 
-@functools.partial(
+# single-device jit of the impl; the sharded path wraps the same impl in
+# shard_map, so sharded == unsharded per utterance
+_fused_batch_kernel = functools.partial(
     jax.jit,
     static_argnames=("fs", "fft_len", "alpha", "alpha_phase", "mag_dim",
                      "phase_dim", "mag_dim_ph", "b_voi_ap_win",
                      "per_phase_type", "out_len_max", "ns_len_max",
-                     "b_out_hpf", "pf_type"))
-def _fused_batch_kernel(feats, voi, pm, shifts, nfrms, ns_len, key,
-                        q_scale=None, q_zp=None, **static):
-    """Single-device jit of _fused_batch_impl (key split in-program; the
-    sharded path pre-splits the same key outside, so sharded == unsharded
-    per utterance)."""
-    keys = jax.random.split(key, feats.shape[0])
-    return _fused_batch_impl(feats, voi, pm, shifts, nfrms, ns_len, keys,
-                             q_scale, q_zp, **static)
+                     "b_out_hpf", "pf_type"))(_fused_batch_impl)
 
 
 def quantise_feats(feats16: np.ndarray, nfrms: np.ndarray):
@@ -153,7 +148,8 @@ def synthesis_from_compressed_batch(utts, fs: int,
                                     key=None, mesh=None,
                                     block_result: bool = True,
                                     pcm16: bool = False,
-                                    transport: str = "f16"):
+                                    transport: str = "f16",
+                                    _keys=None):
     """Batch synthesis from compressed features.
 
     utts: list of (m_mag_mel_log, m_real_mel, m_imag_mel, v_lf0) numpy
@@ -177,6 +173,13 @@ def synthesis_from_compressed_batch(utts, fs: int,
         alpha_phase = alpha
     if key is None:
         key = jax.random.PRNGKey(0)
+    if _keys is None:
+        # per-utterance noise keys, derived ONCE from the root key by
+        # global utterance index.  jax.random.split is prefix-stable
+        # (split(k, m)[i] == split(k, n)[i] for i < min(m, n), asserted in
+        # tests), so utterance i's audio is identical whether the call
+        # buckets, shards, or budget-splits the batch in any way.
+        _keys = np.asarray(jax.random.split(key, len(utts)), np.uint32)
 
     mag_dim = np.atleast_2d(utts[0][0]).shape[1]
     phase_dim = np.atleast_2d(utts[0][1]).shape[1]
@@ -201,14 +204,13 @@ def synthesis_from_compressed_batch(utts, fs: int,
     if len(utts) > max_b:
         out, rows, lens_all = [], [], []
         for i in range(0, len(utts), max_b):
-            key, sub = jax.random.split(key)
             r = synthesis_from_compressed_batch(
                 utts[i:i + max_b], fs, fft_len=fft_len,
                 b_voi_ap_win=b_voi_ap_win, per_phase_type=per_phase_type,
                 alpha_phase=alpha_phase, b_out_hpf=b_out_hpf,
-                pf_type=pf_type, key=sub, mesh=mesh,
+                pf_type=pf_type, key=key, mesh=mesh,
                 block_result=block_result, pcm16=pcm16,
-                transport=transport)
+                transport=transport, _keys=_keys[i:i + max_b])
             if block_result:
                 out.extend(r)
             else:
@@ -250,7 +252,7 @@ def synthesis_from_compressed_batch(utts, fs: int,
     # f0==0 -> 200 Hz i.e. the 5 ms unvoiced rate, magphase.py:2210-2215)
     v_f0 = np.exp(lf0_b)
     voi_b = v_f0 > 1.0
-    shifts_b = (fs / np.where(v_f0 == 0.0, 200.0, v_f0)).astype(np.int64)
+    shifts_b = truncate_shifts(fs / np.where(v_f0 == 0.0, 200.0, v_f0))
     pm_b = np.cumsum(shifts_b, axis=1)
     rows = np.arange(B)
     last = pm_b[rows, nfrms - 1]
@@ -279,20 +281,21 @@ def synthesis_from_compressed_batch(utts, fs: int,
                      b_voi_ap_win=b_voi_ap_win,
                      per_phase_type=per_phase_type, out_len_max=O,
                      ns_len_max=NS, b_out_hpf=b_out_hpf, pf_type=pf_type)
+    keys_b = np.zeros((B, 2), np.uint32)
+    keys_b[:n_real] = _keys[:n_real]        # dummy rows: outputs dropped
+    keys_d = jnp.asarray(keys_b)
     if mesh is not None:
-        # shard_map over the data mesh: pre-split the per-utterance keys
-        # (bitwise-identical to the in-jit split of the unsharded path)
-        # and run the impl with every operand sharded on the batch axis —
+        # shard_map over the data mesh with every operand (incl. the
+        # per-utterance keys) sharded on the batch axis —
         # communication-free by construction (see mesh.sharded_kernel)
-        keys = jax.random.split(key, B)
-        sm_args = args + (keys,)
+        sm_args = args + (keys_d,)
         if extra[0] is not None:
             sm_args = sm_args + extra
         sm_args = shard_batch(mesh, *sm_args)
         bufs = sharded_kernel(_fused_batch_impl, mesh, len(sm_args),
                               static_kw)(*sm_args)
     else:
-        bufs = _fused_batch_kernel(*args, key, *extra, **static_kw)
+        bufs = _fused_batch_kernel(*args, keys_d, *extra, **static_kw)
 
     if pcm16:
         assert not block_result, "pcm16 is a device transfer encoding"

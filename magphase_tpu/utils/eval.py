@@ -65,6 +65,35 @@ def align_by_xcorr(v_sig_a, v_sig_b, fs: int,
     return a[:n], b[:n]
 
 
+def mel_spectral_distortion_piecewise(v_sig_a, v_sig_b, fs: int,
+                                      chunk_s: float = 0.5,
+                                      max_lag_ms: float = 30.0,
+                                      **kw) -> float:
+    """Drift-robust MSD: align globally, then re-align and score each
+    ``chunk_s`` window independently; return the mean.
+
+    The compressed pipeline's lf0 medfilt (magphase.py:2500) legitimately
+    perturbs the synthesis shift track, so pitch marks DRIFT tens of
+    samples against the original mid-utterance.  A single global
+    alignment then scores the same audio several dB apart depending on
+    where the drift accumulates (measured 13 -> 19 dB swings at 16 kHz
+    between outputs that differ by <4e-4 in amplitude) — piecewise
+    alignment removes exactly that artifact and nothing else."""
+    a, b = align_by_xcorr(v_sig_a, v_sig_b, fs)
+    n = min(len(a), len(b))
+    cs = int(chunk_s * fs)
+    pad = int(max_lag_ms * fs / 1000.0)
+    vals = []
+    for st in range(0, n - cs + 1, cs):
+        ref = a[st:st + cs]
+        lo, hi = max(0, st - pad), min(n, st + cs + pad)
+        vals.append(mel_spectral_distortion(ref, b[lo:hi], fs, align=True,
+                                            **kw))
+    if not vals:
+        return mel_spectral_distortion(a, b, fs, align=False, **kw)
+    return float(np.mean(vals))
+
+
 def mel_spectral_distortion(v_sig_a, v_sig_b, fs: int, n_mel: int = 60,
                             align: bool = True, exclude_gain: bool = False,
                             floor_db: float | None = None,

@@ -500,7 +500,7 @@ def synthesis_from_compressed(m_mag_mel_log, m_real_mel, m_imag_mel, v_lf0,
     # batch==single parity): mel-log mags/phase coeffs lose ~1e-3
     # relative, far below the mel-compression error.
     fft_syn = synthesis_fft_len(
-        fft_len, max_pitch_sync_framelen(v_shift.astype(np.int64)))
+        fft_len, max_pitch_sync_framelen(framerate.truncate_shifts(v_shift)))
 
     # --- mel-unwarp on device (850-858)
     Fin = bucket(m_mag_mel_log.shape[0], FRM_STEP)
@@ -527,7 +527,7 @@ def synthesis_from_compressed(m_mag_mel_log, m_real_mel, m_imag_mel, v_lf0,
             v_voi.astype(np.float64), v_frm_locs, const_rate_ms, fs)) > 0.5
 
     nfrms = int(v_shift.shape[0])
-    v_shift_i = v_shift.astype(np.int64)          # truncation (879)
+    v_shift_i = framerate.truncate_shifts(v_shift)   # truncation (879)
     v_pm = np.cumsum(v_shift_i)                   # shift_to_pm (880)
     ns_len = int(v_pm[-1] + (v_pm[-1] - v_pm[-2]))
     shift_last = int(v_pm[-1] - v_pm[-2])

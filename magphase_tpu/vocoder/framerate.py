@@ -40,6 +40,26 @@ def f0_to_shift_np(v_f0_in, fs: int, unv_frm_rate_ms: float = 5.0) -> np.ndarray
     return fs / v_f0
 
 
+def truncate_shifts(v_shift: np.ndarray) -> np.ndarray:
+    """Float shifts -> integer samples with the reference's truncation
+    semantics (``v_shift.astype(int)``, magphase.py:879) made stable
+    against float round-trip noise.
+
+    The analysis side derives f0 = fs/shift from INTEGER shifts; synthesis
+    inverts it as int(fs/exp(log(f0))).  exp/log round-trip error (1 ulp
+    in f64; ~3e-7 relative once lf0 passes through a float32 feature
+    file, the reference's own on-disk format) lands fs/f0 a hair BELOW
+    the integer, and bare truncation then yields shift-1 on a coin flip
+    per frame.  The resulting pitch-mark drift time-warps the output
+    (measured: 16 kHz corpus MSD 15.3 dB vs 6.1 with exact shifts on
+    hvd_591).  A relative guard of 1e-5 — far above the float noise, far
+    below any genuinely intended fractional shift — restores exactness;
+    values not within 1e-5 of an integer truncate exactly as the
+    reference does."""
+    v = np.asarray(v_shift, np.float64)
+    return np.floor(v * (1.0 + 1e-5)).astype(np.int64)
+
+
 def interp_from_variable_to_const_frm_rate(m_data, v_pm_smpls,
                                            const_rate_ms: float, fs: int):
     """Variable -> constant 5 ms grid (magphase.py:2219-2239), on device.

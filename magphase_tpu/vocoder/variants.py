@@ -160,7 +160,7 @@ def synthesis_from_compressed_type2(m_mag_mel_log, m_real_mel, m_imag_mel,
             fs)) > 0.5
 
     nfrms = len(v_shift)
-    v_shift_i = v_shift.astype(np.int64)
+    v_shift_i = framerate.truncate_shifts(v_shift)
     v_pm = np.cumsum(v_shift_i)
     ns_len = int(v_pm[-1] + (v_pm[-1] - v_pm[-2]))
     out_len = int(v_pm[-1] + (v_pm[-1] - v_pm[-2]) + 1)
@@ -199,7 +199,7 @@ def _legacy_noise_synthesis(m_mag, m_real, m_imag, v_voi, v_shift, fs,
                             key, anti_ringing: bool):
     """Shared body of the type1 pipeline (magphase.py:1311-1412)."""
     nfrms = len(np.asarray(v_voi))
-    v_shift_i = np.asarray(v_shift).astype(np.int64)
+    v_shift_i = framerate.truncate_shifts(v_shift)
     v_pm = np.cumsum(v_shift_i)
     ns_len = int(v_pm[-1] + (v_pm[-1] - v_pm[-2]))
     out_len = int(v_pm[-1] + (v_pm[-1] - v_pm[-2]) + 1)
@@ -533,7 +533,7 @@ def synthesis_from_compressed_type1_old_with_griffin_lim(
         v_voi = v_f0 > 1.0   # 683
 
     nfrms = len(v_shift)
-    v_shift_i = np.asarray(v_shift).astype(np.int64)
+    v_shift_i = framerate.truncate_shifts(v_shift)
     v_pm = np.cumsum(v_shift_i)
     ns_len = int(v_pm[-1] + (v_pm[-1] - v_pm[-2]))
     out_len = ns_len + 1

@@ -1,6 +1,19 @@
-"""16 kHz end-to-end: alpha=0.58, fft_len=2048, crossfade cf=2.5 kHz
-(define_alpha magphase.py:3279-3290, define_fft_len 3292-3299,
-define_crossfade_params 3301-3317)."""
+"""Multi-rate coverage: 16 kHz / 22.05 kHz / 44.1 kHz end-to-end, with the
+reference's fs-keyed constants (define_alpha magphase.py:3279-3290,
+define_fft_len 3292-3299, define_crossfade_params 3301-3317).
+
+Two kinds of gate (round-2 VERDICT item 6):
+ * drift-free STREAM parity vs the reference oracle at 16 kHz — tight;
+ * whole-corpus MSD bounds per rate on the resampled demo wavs — recorded
+   + margin.  NOTE the margin is deliberately wider than at 48 kHz: the
+   compressed pipeline's lf0 medfilt legitimately perturbs synthesis pitch
+   marks, and the resulting drift makes the globally-aligned MSD swing
+   several dB between outputs that differ by <4e-4 in amplitude (verified
+   against the numpy oracle with shared noise and geometry); at 16 kHz two
+   utterances sit in that unstable regime.
+"""
+import glob
+
 import numpy as np
 import jax
 import pytest
@@ -8,6 +21,17 @@ from scipy import signal as sp
 
 from magphase_tpu.config import (MagPhaseConfig, define_alpha,
                                  define_fft_len, define_crossfade_params)
+
+DATA = "/root/reference/demos/data_48k/wavs_nat"
+
+# recorded whole-corpus values (CPU, PRNGKey(0), floor_db=40, global
+# alignment): 16k mean 10.00 max 19.27; 22050 mean 7.64 max 11.30;
+# 44100 mean 6.80 max 9.54
+RATE_GATES = {
+    16000: (1, 3, 11.0, 21.0),
+    22050: (147, 320, 8.6, 12.5),
+    44100: (147, 160, 7.8, 11.0),
+}
 
 
 def test_16k_config_constants():
@@ -51,6 +75,62 @@ def test_16k_compressed_roundtrip(tmp_path, wav16):
                                   key=jax.random.PRNGKey(0))
     assert np.all(np.isfinite(v))
     assert np.std(v) > 1e-5
+
+
+def test_16k_streams_match_reference_oracle(wav16):
+    """Drift-free 16 kHz parity: analysis + format_for_modelling against
+    the numpy oracle with shared epochs — pins alpha=0.58, fft 2048,
+    cf 2.5 kHz to the reference's exact math."""
+    from oracle import refport
+    from magphase_tpu.epochs import extract_epochs
+    from magphase_tpu.vocoder.lossless import analysis_with_del_comp_from_pm
+    from magphase_tpu.vocoder.compressed import format_for_modelling
+
+    sig, fs = wav16
+    sig = np.asarray(sig, np.float64)[:int(1.2 * fs)]
+    pm, voi = extract_epochs(sig, fs)
+
+    r_mag, r_real, r_imag, r_f0, _, r_shift = refport.analysis_lossless(
+        sig, fs, pm, voi)
+    g_mag, g_real, g_imag, g_f0, g_shift = analysis_with_del_comp_from_pm(
+        sig, fs, np.asarray(pm) * fs, np.asarray(voi))
+    np.testing.assert_array_equal(g_shift, r_shift)
+    assert np.max(np.abs(g_mag - r_mag)) / np.max(r_mag) < 2e-6
+
+    r_mml, r_mrm, r_mim, r_lf0 = refport.format_for_modelling(
+        r_mag, r_real, r_imag, r_f0, fs, mag_dim=60, phase_dim=45)
+    g_mml, g_mrm, g_mim, g_lf0 = format_for_modelling(
+        r_mag, r_real, r_imag, r_f0, fs, mag_dim=60, phase_dim=45)
+    np.testing.assert_allclose(g_lf0, r_lf0, atol=1e-9)
+    assert np.max(np.abs(g_mml - r_mml)) < 2e-3
+    assert np.max(np.abs(g_mrm - r_mrm)) < 2e-3
+
+
+@pytest.mark.parametrize("fs", sorted(RATE_GATES))
+def test_multirate_corpus_msd(fs):
+    """Full tracker -> compressed -> synthesis loop over ALL 10 demo
+    utterances resampled to ``fs``, with recorded MSD bounds."""
+    from magphase_tpu.io import read_wav
+    from magphase_tpu.parallel.analysis_batch import analysis_compressed_batch
+    from magphase_tpu.parallel.batch import synthesis_from_compressed_batch
+    from magphase_tpu.utils.eval import mel_spectral_distortion
+
+    up, dn, mean_max, utt_max = RATE_GATES[fs]
+    wavs = sorted(glob.glob(f"{DATA}/*.wav"))
+    assert len(wavs) == 10
+    toks = [w.rsplit("/", 1)[1][:-4] for w in wavs]
+    sigs = [sp.resample_poly(read_wav(w)[0], up, dn) for w in wavs]
+
+    feats = analysis_compressed_batch(sigs, fs)
+    utts = [(m, r, i, l) for (m, r, i, l, _s) in feats]
+    outs = synthesis_from_compressed_batch(utts, fs,
+                                           key=jax.random.PRNGKey(0))
+    msds = {t: mel_spectral_distortion(s, np.asarray(o), fs, floor_db=40.0)
+            for t, s, o in zip(toks, sigs, outs)}
+    mean = float(np.mean(list(msds.values())))
+    assert mean < mean_max, (fs, msds)
+    bad = {t: m for t, m in msds.items() if m >= utt_max}
+    assert not bad, f"{fs}: per-utterance MSD over {utt_max} dB: {bad}"
 
 
 def test_22050_and_44100_round_trip_smoke():

@@ -23,10 +23,19 @@ from magphase_tpu.io import read_wav
 DATA = "/root/reference/demos/data_48k/wavs_nat"
 FS = 48000
 
-# recorded corpus values (CPU, PRNGKey(0), floor_db=40):
-#   per-utt MSD 7.14..10.24 dB, mean 8.72 dB
-MSD_MEAN_MAX = 10.5
-MSD_UTT_MAX = 12.5
+# recorded corpus values (CPU, PRNGKey(0), floor_db=40, round 3, after
+# the guarded shift truncation): per-utt MSD 3.8..8.34 dB, mean 6.24 dB —
+# identical for the live tracker and the recorded-epochs fixture
+# (tests/data/epochs_48k.npz).
+# Gates sit at recorded + ~0.5 dB and are DECOMPOSED: the fixture gate
+# moves only with mel-compression/synthesis changes; the live gate also
+# moves with tracker changes — a tracker regression flips exactly one.
+MSD_MEAN_MAX = 6.8
+MSD_UTT_MAX = 8.9
+MSD_MEAN_MAX_LIVE = 7.0
+MSD_UTT_MAX_LIVE = 9.1
+
+EPOCH_FIXTURE = "tests/data/epochs_48k.npz"
 
 
 @pytest.fixture(scope="module")
@@ -50,22 +59,43 @@ def test_lossless_copy_synthesis_whole_corpus(corpus):
             f"{tok}: p99 err {np.percentile(err, 99):.2e}"
 
 
-def test_compressed_loop_msd_whole_corpus(corpus):
+def _corpus_msd(toks, sigs, epochs=None):
     from magphase_tpu.parallel.analysis_batch import \
         analysis_compressed_batch
     from magphase_tpu.parallel.batch import synthesis_from_compressed_batch
     from magphase_tpu.utils.eval import mel_spectral_distortion
-    toks, sigs = corpus
 
-    feats = analysis_compressed_batch(sigs, FS)
+    feats = analysis_compressed_batch(sigs, FS, epochs=epochs)
     utts = [(m, r, i, l) for (m, r, i, l, _s) in feats]
     outs = synthesis_from_compressed_batch(utts, FS,
                                            key=jax.random.PRNGKey(0))
-    msds = {}
-    for tok, sig, syn in zip(toks, sigs, outs):
-        msds[tok] = mel_spectral_distortion(sig, np.asarray(syn), FS,
-                                            floor_db=40.0)
+    return {tok: mel_spectral_distortion(sig, np.asarray(syn), FS,
+                                         floor_db=40.0)
+            for tok, sig, syn in zip(toks, sigs, outs)}
+
+
+def test_compressed_loop_msd_fixed_epochs(corpus):
+    """Mel-compression + synthesis error in ISOLATION: epochs come from
+    the recorded fixture, so tracker changes cannot move this gate."""
+    import os
+    toks, sigs = corpus
+    fix = np.load(os.path.join(os.path.dirname(__file__), "data",
+                               "epochs_48k.npz"))
+    epochs = [(fix[f"{t}_pm"], fix[f"{t}_voi"]) for t in toks]
+    msds = _corpus_msd(toks, sigs, epochs=epochs)
     mean = float(np.mean(list(msds.values())))
     assert mean < MSD_MEAN_MAX, msds
     bad = {t: m for t, m in msds.items() if m >= MSD_UTT_MAX}
     assert not bad, f"per-utterance MSD over {MSD_UTT_MAX} dB: {bad}"
+
+
+def test_compressed_loop_msd_whole_corpus(corpus):
+    """Full LIVE loop (tracker in the loop): a tracker regression of
+    >= ~0.3 dB mean or any badly-tracked utterance turns this red while
+    the fixed-epochs gate above stays green."""
+    toks, sigs = corpus
+    msds = _corpus_msd(toks, sigs)
+    mean = float(np.mean(list(msds.values())))
+    assert mean < MSD_MEAN_MAX_LIVE, msds
+    bad = {t: m for t, m in msds.items() if m >= MSD_UTT_MAX_LIVE}
+    assert not bad, f"per-utterance MSD over {MSD_UTT_MAX_LIVE} dB: {bad}"

@@ -38,8 +38,9 @@ def build_loop_kernel():
     def loop_kernel(feats, voi, pm, shifts, nfrms, ns_len, key, *, iters,
                     **statics):
         def body(acc, k):
-            bufs = pb._fused_batch_kernel(feats, voi, pm, shifts, nfrms,
-                                          ns_len, k, **statics)
+            bufs = pb._fused_batch_kernel(
+                feats, voi, pm, shifts, nfrms, ns_len,
+                jax.random.split(k, feats.shape[0]), **statics)
             return acc + jnp.sum(bufs[:, ::1024]), None
 
         keys = jax.random.split(key, iters)
