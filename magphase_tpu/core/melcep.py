@@ -21,6 +21,12 @@ temp files, fully batched over frames.
 
 ``mcep_to_sp_cosmat`` (libaudio.py:605-631) is already a cosine-matrix
 product; we cache the matrix.
+
+The ``-j 0`` reading (max Newton iterations = 0 -> initial estimate only)
+is independently restated in tests/oracle/refport.py:mcep_j0/freqt_sptk —
+literal sequential ports of SPTK-3.9 ``_mcep.c``/``_freqt.c`` — and
+tests/test_ref_parity.py asserts both derivations agree to 5e-6 for all
+three ``-q`` input types the reference uses.
 """
 from __future__ import annotations
 

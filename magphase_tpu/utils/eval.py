@@ -87,8 +87,12 @@ def mel_spectral_distortion_piecewise(v_sig_a, v_sig_b, fs: int,
     for st in range(0, n - cs + 1, cs):
         ref = a[st:st + cs]
         lo, hi = max(0, st - pad), min(n, st + cs + pad)
-        vals.append(mel_spectral_distortion(ref, b[lo:hi], fs, align=True,
-                                            **kw))
+        cand = b[lo:hi]
+        # local lag: slide ref over the padded candidate window
+        c = np.correlate(cand, ref, "valid")
+        off = int(np.argmax(c))
+        vals.append(mel_spectral_distortion(ref, cand[off:off + cs], fs,
+                                            align=False, **kw))
     if not vals:
         return mel_spectral_distortion(a, b, fs, align=False, **kw)
     return float(np.mean(vals))

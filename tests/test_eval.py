@@ -46,3 +46,24 @@ def test_msd_exclude_gain_ignores_level():
     sig = rng.randn(48000) * 0.1
     d = mel_spectral_distortion(sig, sig * 0.7, 48000, exclude_gain=True)
     assert d < 1e-4
+
+
+def test_msd_piecewise_removes_mid_utterance_drift():
+    """Per-span constant time shifts (zero mean, so the global aligner
+    stays near lag 0): global alignment can satisfy at most one span,
+    local alignment recovers each — piecewise MSD must sit far below the
+    globally-aligned MSD."""
+    from magphase_tpu.utils.eval import mel_spectral_distortion_piecewise
+    from magphase_tpu.utils.tracker_eval import make_stimulus
+    fs = 48000
+    sig, _, _, _ = make_stimulus(fs, [(3.0, 110.0, 180.0)], seed=2)
+    n = len(sig)
+    cs = fs // 2
+    shifts = [0, 20, -25, 10, -15, 15]
+    drift = np.concatenate([np.full(cs, sh) for sh in shifts])
+    drift = np.concatenate([drift, np.full(n - len(drift), shifts[-1])])
+    warped = sig[np.clip(np.arange(n) + drift, 0, n - 1)]
+    d_global = mel_spectral_distortion(sig, warped, fs)
+    d_piece = mel_spectral_distortion_piecewise(sig, warped, fs)
+    assert d_piece < 0.5 * d_global, (d_piece, d_global)
+    assert d_piece < 1.5, (d_piece, d_global)

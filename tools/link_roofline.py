@@ -27,7 +27,7 @@ WAV_DIR = "/root/reference/demos/data_48k/wavs_nat"
 FS = 48000
 
 
-def main(batch: int = 64):
+def measure(batch: int = 64) -> dict:
     import jax
     import jax.numpy as jnp
     from magphase_tpu.io import read_wav
@@ -73,7 +73,9 @@ def main(batch: int = 64):
         return best
 
     def time_download(shape_arr, reps=4):
-        buf = jax.device_put(shape_arr, dev)
+        # the buffer must be DEVICE-COMPUTED: device_get of a device_put
+        # array can return the retained host copy without any transfer
+        buf = jax.jit(lambda x: x + 1)(jax.device_put(shape_arr, dev))
         buf.block_until_ready()
         best = float("inf")
         for _ in range(reps):
@@ -106,7 +108,7 @@ def main(batch: int = 64):
     bound_overlap = audio_s / max(t_up, t_down, t_dev)
     bound_serial = audio_s / (t_up + t_down + t_dev)
 
-    print(json.dumps({
+    return {
         "audio_s_per_group": round(audio_s, 2),
         "upload_MB": round(up_bytes / 1e6, 2),
         "upload_s": round(t_up, 4),
@@ -120,8 +122,9 @@ def main(batch: int = 64):
         "e2e_audio_s_per_s": round(e2e, 1),
         "e2e_vs_serial_bound": round(e2e / bound_serial, 3),
         "e2e_vs_overlap_bound": round(e2e / bound_overlap, 3),
-    }))
+    }
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 64)
+    print(json.dumps(measure(
+        int(sys.argv[1]) if len(sys.argv) > 1 else 64)))
