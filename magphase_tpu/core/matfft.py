@@ -144,6 +144,89 @@ def hermitian_fold_weights(n: int) -> np.ndarray:
     return w
 
 
+@functools.lru_cache(maxsize=8)
+def _rfft_direct_consts(n: int):
+    """(n, 2h) packed [cos | sin] forward-DFT matrix (real float32).
+
+    One dense matmul computes the full rfft: y = x @ W gives
+    y[..., :h] = Re(X), y[..., h:] = -Im(X)... sign convention: columns
+    are cos(-2pi t k / n) and sin(-2pi t k / n), so y[..., h:] = Im(X)
+    directly.  4x the FLOPs of the two-stage split but ZERO intermediate
+    relayouts — the two-stage form is layout-bound on TPU (measured:
+    3-pass vs 6-pass identical), so for noise-grade precision a single
+    bf16 MXU pass wins (see rfft_noise_grade).
+    """
+    h = n // 2 + 1
+    t = np.arange(n)[:, None].astype(np.float64)
+    k = np.arange(h)[None, :].astype(np.float64)
+    ang = -2.0 * np.pi * t * k / n
+    return np.concatenate([np.cos(ang), np.sin(ang)], axis=1).astype(
+        np.float32)
+
+
+def rfft_noise_grade(x: jnp.ndarray, n: int | None = None) -> jnp.ndarray:
+    """rfft for NOISE-GRADE inputs: single (rows, n) x (n, 2h) bf16 MXU
+    matmul (f32 accumulation), rel err ~4e-3 — three orders below any
+    meaning carried by a white-noise excitation spectrum, and 5-10x less
+    device time than the layout-bound two-stage f32 path on the synthesis
+    pipeline's hot shapes.  Off-TPU (CPU tests) falls back to the exact
+    native rfft.  MAGPHASE_NOISE_RFFT=f32 forces the exact path on TPU
+    for A/B."""
+    if n is None:
+        n = x.shape[-1]
+    if (_use_native() or (n & (n - 1))
+            or os.environ.get("MAGPHASE_NOISE_RFFT") == "f32"):
+        return rfft(x, n=n)
+    if x.shape[-1] > n:
+        x = x[..., :n]
+    elif x.shape[-1] < n:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])])
+    W = jnp.asarray(_rfft_direct_consts(n), jnp.bfloat16)
+    h = n // 2 + 1
+    y = jnp.dot(x.astype(jnp.bfloat16), W,
+                preferred_element_type=jnp.float32)
+    return jax.lax.complex(y[..., :h], y[..., h:])
+
+
+@functools.lru_cache(maxsize=8)
+def _irfft_direct_consts(n: int):
+    """(2h, n) stacked [cos-weighted | sin-weighted] inverse-DFT matrix.
+
+    y[t] = sum_k w[k] (Re X[k] cos(2pi kt/n) - Im X[k] sin(2pi kt/n))
+    with the hermitian fold weights w = [1, 2, .., 2, 1]/n, so one matmul
+    of the packed (rows, 2h) [Re | Im] operand computes the full irfft
+    with zero intermediate relayouts (the two-stage split is layout-bound
+    on TPU; see rfft_noise_grade).
+    """
+    h = n // 2 + 1
+    w = hermitian_fold_weights(n).astype(np.float64)[:, None]
+    k = np.arange(h)[:, None].astype(np.float64)
+    t = np.arange(n)[None, :].astype(np.float64)
+    ang = 2.0 * np.pi * k * t / n
+    return np.concatenate([w * np.cos(ang), -w * np.sin(ang)],
+                          axis=0).astype(np.float32)
+
+
+def irfft_direct(X: jnp.ndarray, n: int | None = None,
+                 precision: str = "high") -> jnp.ndarray:
+    """jnp.fft.irfft as ONE (rows, 2h) x (2h, n) matmul.  At
+    precision='high' (3-pass bf16 operand splitting, f32 accumulation)
+    the result carries ~f32 accuracy — the error is dominated by the f32
+    accumulation either way — at half the MXU passes of 'highest', and
+    the single clean large matmul avoids the two-stage form's layout
+    overhead.  Off-TPU falls back to the native irfft."""
+    if n is None:
+        n = 2 * (X.shape[-1] - 1)
+    if _use_native() or (n & (n - 1)) or X.dtype == jnp.complex128:
+        return jnp.fft.irfft(X, n=n)
+    h = n // 2 + 1
+    X = X[..., :h]
+    W = jnp.asarray(_irfft_direct_consts(n))
+    z = jnp.concatenate([X.real, X.imag], axis=-1)
+    return jnp.einsum("...k,kt->...t", z, W,
+                      precision=precision).astype(jnp.float32)
+
+
 def _use_native() -> bool:
     v = os.environ.get("MAGPHASE_MATFFT", "")
     if v == "1":

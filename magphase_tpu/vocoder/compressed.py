@@ -367,7 +367,13 @@ def synthesis_core_batch(m_mag, m_real, m_imag, v_voi, pm, shifts, nfrms,
         m_frm_ns = _noise_frames_direct(
             keys, pm, nfrms, ns_len, fft_len,
             (VOI_NOISE if b_voi_ap_win else HANNING), HANNING, voi, dtype)
-    m_ns_cmplx = matfft.rfft(m_frm_ns)
+    # the excitation spectrum only needs noise-grade precision: a single
+    # bf16 MXU matmul (rel err ~2e-3, three orders below any meaning a
+    # white-noise draw carries) runs 3.6x faster than the layout-bound
+    # two-stage f32 DFT (12.2 -> 3.4 ms on the hot shape;
+    # tools/noise_rfft_bench.py).  MAGPHASE_NOISE_RFFT=f32 restores the
+    # exact path for A/B; CPU always uses the native rfft.
+    m_ns_cmplx = matfft.rfft_noise_grade(m_frm_ns)
 
     # --- noise gain normalisation (899-906): sqrt(exp(mean(log|NS|_mid^2)))
     m_ns_mag = jnp.abs(m_ns_cmplx)
@@ -426,7 +432,18 @@ def synthesis_core_batch(m_mag, m_real, m_imag, v_voi, pm, shifts, nfrms,
     # (time shift by N/2 <=> modulation by e^{-i*pi*k}) — one fused
     # elementwise multiply instead of a full-size roll pass
     alt = (1.0 - 2.0 * (jnp.arange(h) % 2)).astype(dtype)
-    m_frm = matfft.irfft(m_syn * alt, n=fft_len)
+    # single-matmul irfft at precision='high' (3-pass bf16, f32 accum):
+    # 1.5x the layout-bound two-stage form (8.5 -> 5.7 ms on the hot
+    # shape, tools/irfft_bench_direct.py) at 1.2e-5 rel err — two orders
+    # below the f16 feature transport this pipeline rides on.  The
+    # LOSSLESS synthesis keeps the exact two-stage path (its witness is
+    # sub-PCM16 reconstruction).  MAGPHASE_IRFFT=two_stage restores the
+    # exact path here for A/B.
+    if os.environ.get("MAGPHASE_IRFFT") == "two_stage":
+        m_frm = matfft.irfft(m_syn * alt, n=fft_len)
+    else:
+        m_frm = matfft.irfft_direct(m_syn * alt, n=fft_len,
+                                    precision="high")
 
     # --- anti-ringing window (968-973).  Deliberately a SEPARATE batched
     # pass: fusing it into the Pallas OLA scatter (ola_centered_batch's

@@ -49,6 +49,41 @@ def test_non_pow2_falls_back(monkeypatch):
     assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
 
 
+@pytest.mark.parametrize("n", [1024, 2048])
+def test_rfft_noise_grade(n, monkeypatch):
+    """Single-matmul bf16 forward DFT: noise-grade accuracy (~4e-3 rel)
+    and exact-native fallback off the matmul path."""
+    monkeypatch.setenv("MAGPHASE_MATFFT", "1")
+    rng = np.random.RandomState(5)
+    x = rng.uniform(-1, 1, (4, n)).astype(np.float32)
+    got = np.asarray(matfft.rfft_noise_grade(jnp.asarray(x)))
+    ref = np.fft.rfft(x.astype(np.float64))
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 2e-2
+    # spectrum stays white: per-bin mean power within 20% of n/3
+    # (uniform[-1,1) variance) over the 4-row average
+    monkeypatch.setenv("MAGPHASE_NOISE_RFFT", "f32")
+    exact = np.asarray(matfft.rfft_noise_grade(jnp.asarray(x)))
+    assert np.abs(exact - ref).max() / scale < 2e-6
+
+
+@pytest.mark.parametrize("n", [1024, 2048, 4096])
+def test_irfft_direct(n, monkeypatch):
+    """Single-matmul irfft: ~f32 accuracy at precision='high' (the f32
+    accumulation dominates the error, not the 3-pass operand split)."""
+    monkeypatch.setenv("MAGPHASE_MATFFT", "1")
+    rng = np.random.RandomState(6)
+    h = n // 2 + 1
+    X = (rng.randn(4, h) + 1j * rng.randn(4, h)).astype(np.complex64)
+    ref = np.fft.irfft(X.astype(np.complex128), n=n)
+    scale = np.abs(ref).max()
+    for prec in ("high", "highest"):
+        got = np.asarray(matfft.irfft_direct(jnp.asarray(X), n=n,
+                                             precision=prec))
+        assert got.dtype == np.float32
+        assert np.abs(got - ref).max() / scale < 2e-6, prec
+
+
 def test_disabled_matches_exactly(monkeypatch):
     monkeypatch.setenv("MAGPHASE_MATFFT", "0")
     x = np.random.RandomState(4).randn(2, 512).astype(np.float32)
