@@ -202,6 +202,96 @@ def bench_analysis_phases(batch=24):
     return g_audio / (p1 + p2)
 
 
+def bench_phase2_breakdown(batch=24):
+    """Stage-wise device time of the analyse+compress phase:
+    framing (Pallas) -> rfft -> lossless feats -> mel compression."""
+    import functools
+    import glob
+    import jax
+    import jax.numpy as jnp
+    from magphase_tpu.io import read_wav
+    from magphase_tpu.parallel import analysis_batch as ab
+    from magphase_tpu.core import framing
+    from magphase_tpu.core.windows import HANNING
+    from magphase_tpu.config import (define_alpha, define_crossfade_params,
+                                     define_fft_len)
+    from magphase_tpu.vocoder.compressed import \
+        get_num_full_mel_coeffs_from_num_phase_coeffs
+
+    fs = FS
+    wavs = sorted(glob.glob(
+        "/root/reference/demos/data_48k/wavs_nat/*.wav"))
+    signals = [read_wav(w)[0] for w in wavs]
+    batch_sigs = [signals[i % len(signals)] for i in range(batch)]
+    fft_len = define_fft_len(fs)
+    group = ab._split_for_budget(batch_sigs, fs, fft_len, None)[0]
+    g_audio = sum(len(s) for s in group) / fs
+    _, dev, S, Tmax, m_max, n_real = ab._device_signal_batch(
+        group, fs, None, fft_len=fft_len)
+    sigs_d, n_sigs_d, n_frames_d = dev
+    marks, flags, n_marks = ab._track_place_kernel(
+        sigs_d, n_sigs_d, n_frames_d, fs=fs, n_frames_max=Tmax,
+        m_max=m_max)
+    nm = np.asarray(jax.device_get(n_marks))
+    Fa = min(m_max, ab.bucket_frames(int(nm.max())))
+    alpha = define_alpha(fs)
+    mag_dim_ph = get_num_full_mel_coeffs_from_num_phase_coeffs(
+        define_crossfade_params(fs)[0], 45, alpha, fs)
+
+    def staged(sigs, marks_, flags_, n_marks_, n_sigs, upto):
+        sigs = ab._sigs_f32(sigs)
+        marks_ = marks_[:, :Fa]
+        flags_ = flags_[:, :Fa]
+        frames, L, R, valid = framing.pitch_sync_frames_batch(
+            sigs, marks_, n_marks_, n_sigs, fft_len, win_family=HANNING)
+        if upto == 0:
+            return jnp.sum(frames[:, ::32, ::128])
+        spec = jnp.fft.rfft(frames)
+        if upto == 1:
+            return jnp.sum(spec.real[:, ::32, ::128])
+        m_mag = jnp.abs(spec)
+        m_div = jnp.where(m_mag == 0.0, 1.0, m_mag)
+        m_real = jnp.where(m_mag == 0.0, 0.0, spec.real / m_div)
+        m_imag = jnp.where(m_mag == 0.0, 0.0, spec.imag / m_div)
+        v_shift = L
+        v_f0 = jnp.where(valid & (v_shift > 0),
+                         flags_ * fs / jnp.maximum(v_shift, 1).astype(
+                             m_mag.dtype), 0.0)
+        if upto == 2:
+            return (jnp.sum(m_mag[:, ::32, ::128]) +
+                    jnp.sum(m_real[:, ::32, ::128]) + jnp.sum(v_f0))
+        mml, mrm, mim, lf0 = ab._compress_streams(
+            m_mag, m_real, m_imag, v_f0, mag_dim=60, phase_dim=45,
+            mag_dim_ph=mag_dim_ph, alpha=alpha, alpha_phase=alpha)
+        return (jnp.sum(mml[:, ::64, 0]) + jnp.sum(mrm[:, ::64, 0]) +
+                jnp.sum(lf0[:, ::64]))
+
+    names = ["framing", "+rfft", "+lossless feats", "+compress"]
+    prev = 0.0
+    for upto in range(4):
+        @functools.partial(jax.jit, static_argnames=("iters",))
+        def loop(sigs, marks_, flags_, n_marks_, n_sigs, *, iters,
+                 _upto=upto):
+            def body(acc, i):
+                v = staged(sigs.at[0, 0].set(i.astype(sigs.dtype)),
+                           marks_, flags_, n_marks_, n_sigs, _upto)
+                return acc + v.astype(jnp.float32), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(iters))
+            return acc
+
+        times = {}
+        for iters in (1, 9, 1, 9):
+            t0 = time.perf_counter()
+            v = float(jax.device_get(loop(
+                sigs_d, marks, flags, n_marks, n_sigs_d, iters=iters)))
+            times.setdefault(iters, []).append(time.perf_counter() - t0)
+        assert np.isfinite(v)
+        t = (min(times[9]) - min(times[1])) / 8.0
+        print(f"a{upto} {names[upto]:16s}: {t*1e3:7.2f} ms "
+              f"(delta {1e3*(t-prev):+7.2f} ms)  F={Fa}", flush=True)
+        prev = t
+
+
 def bench_phase1_breakdown(batch=24):
     """Split phase-1 device time into track (preprocess+NCCF+Viterbi)
     vs the epoch walk, by timing _track_batch_kernel (no walk) and
@@ -305,6 +395,10 @@ def bench_phase1_breakdown(batch=24):
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "phase1":
         bench_phase1_breakdown(int(sys.argv[2]) if len(sys.argv) > 2
+                               else 24)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "phase2":
+        bench_phase2_breakdown(int(sys.argv[2]) if len(sys.argv) > 2
                                else 24)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "analysis":

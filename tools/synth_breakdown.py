@@ -80,13 +80,12 @@ def main():
             voi = voi_in.astype(bool) & valid
             unv = (~voi_in.astype(bool)) & valid
             keys = jax.random.split(key, B)
-            v_ns = jax.vmap(lambda k: jax.random.uniform(
-                k, (ns_len_max,), dtype=dtype, minval=-1.0,
-                maxval=1.0))(keys)
-            m_frm_ns, _, _, _ = framing.pitch_sync_frames_batch(
-                v_ns, pm, nfrms, ns_len, fft_len, win_family=VOI_NOISE,
-                voiced=voi, win_family_unvoiced=HANNING)
-            m_ns_cmplx = jnp.fft.rfft(m_frm_ns)
+            from magphase_tpu.vocoder.compressed import _noise_frames_direct
+            from magphase_tpu.core import matfft
+            m_frm_ns = _noise_frames_direct(
+                keys, pm, nfrms, ns_len, fft_len, VOI_NOISE, HANNING, voi,
+                dtype)
+            m_ns_cmplx = matfft.rfft_noise_grade(m_frm_ns)
             if upto == 1:
                 return jnp.sum(jnp.abs(m_ns_cmplx))
             crsf_cf, crsf_bw = define_crossfade_params(fs)
@@ -130,8 +129,9 @@ def main():
             m_syn = m_syn.at[..., -1].set(jnp.abs(m_syn[..., -1]) + 0j)
             if upto == 2:
                 return jnp.sum(jnp.abs(m_syn))
-            m_frm = jnp.fft.irfft(m_syn, n=fft_len)
-            m_frm = jnp.roll(m_frm, fft_len // 2, axis=-1)
+            alt = (1.0 - 2.0 * (jnp.arange(h) % 2)).astype(dtype)
+            m_frm = matfft.irfft_direct(m_syn * alt, n=fft_len,
+                                        precision="high")
             m_frm = jax.vmap(framing.apply_anti_ringing)(m_frm, shifts,
                                                          nfrms)
             if upto == 3:
