@@ -111,6 +111,32 @@ def mcep_to_sp_cosmat(m_mcep: jnp.ndarray, n_spbins: int, alpha: float = 0.77,
 # ---------------------------------------------------------------------------
 # SPTK mcep (zero-iteration mode, the reference's exact configuration)
 
+@functools.lru_cache(maxsize=32)
+def mcep_matrix_np(f2: int, fft_len: int, n_coeffs: int,
+                   alpha: float) -> np.ndarray:
+    """(f2+1, n_coeffs) matrix M with mcep = log_periodogram @ M.
+
+    Everything after the log in the -j 0 mcep pipeline is LINEAR in the
+    log periodogram P:  cepstrum  cp[t] = sum_k w[k] P[k] cos(2pi k t /
+    fft_len)  (w the hermitian fold weights), the one-sided halving at
+    t in {0, f2}, and the freqt matmul.  Composing them in float64 host
+    numpy removes the per-frame (rows, fft_len)-point inverse FFT the
+    direct formulation needs — on TPU that irfft was ~19 ms of the
+    22 ms analyse+compress phase for the three streams, vs ~0.3 ms for
+    the fused (rows, f2+1) x (f2+1, n_coeffs) matmul."""
+    k = np.arange(f2 + 1, dtype=np.float64)
+    t = np.arange(f2 + 1, dtype=np.float64)
+    w = np.full(f2 + 1, 2.0 / fft_len)
+    w[0] = 1.0 / fft_len
+    if 2 * f2 == fft_len:
+        w[f2] = 1.0 / fft_len
+    A = w[:, None] * np.cos(2.0 * np.pi * np.outer(k, t) / fft_len)
+    A[:, 0] *= 0.5                      # one-sided cepstrum halving
+    A[:, f2] *= 0.5
+    F = freqt_matrix_np(f2, n_coeffs - 1, alpha)
+    return (A @ F).astype(np.float32)
+
+
 def sp_to_mcep(m_sp: jnp.ndarray, n_coeffs: int = 60, alpha: float = 0.77,
                in_type: int = 3, fft_len: int = 0,
                eps: float = 1.0e-8) -> jnp.ndarray:
@@ -119,6 +145,10 @@ def sp_to_mcep(m_sp: jnp.ndarray, n_coeffs: int = 60, alpha: float = 0.77,
 
     in_type: 3 => |f(w)|, 1 => 20log10|f(w)| (dB), 2 => ln|f(w)|.
     m_sp: (F, fft_len/2+1) non-redundant spectrum.
+
+    The cepstrum + one-sided fold + freqt chain is linear in the log
+    periodogram, so it runs as ONE cached (f2+1, n_coeffs) matmul
+    (mcep_matrix_np) — no inverse FFT.
     """
     f2 = m_sp.shape[1] - 1
     if fft_len == 0:
@@ -136,12 +166,9 @@ def sp_to_mcep(m_sp: jnp.ndarray, n_coeffs: int = 60, alpha: float = 0.77,
         raise ValueError(f"in_type {in_type} not supported")
 
     P = jnp.log(amp2 + eps)                          # log periodogram
-    # real cepstrum of P: irfft of the (real) half spectrum
-    cp = jnp.fft.irfft(P.astype(jnp.complex64 if P.dtype == jnp.float32
-                                else jnp.complex128), n=fft_len)
-    h = cp[:, :f2 + 1]
-    h = h.at[:, 0].mul(0.5).at[:, f2].mul(0.5)       # one-sided cepstrum of log|X|
-    return freqt(h, n_coeffs - 1, alpha)
+    M = jnp.asarray(mcep_matrix_np(f2, fft_len, n_coeffs, alpha),
+                    dtype=P.dtype)
+    return mm(P, M)
 
 
 # ---------------------------------------------------------------------------
