@@ -164,6 +164,28 @@ def _rfft_direct_consts(n: int):
         np.float32)
 
 
+def rfft_direct(x: jnp.ndarray, n: int | None = None,
+                precision: str = "high") -> jnp.ndarray:
+    """rfft as ONE (rows, n) x (n, 2h) matmul at the given einsum
+    precision ('high' = 3-pass bf16 operand splitting, ~f32 accuracy —
+    the f32 accumulation dominates the error).  Single clean matmul, no
+    intermediate relayouts (cf. the layout-bound two-stage form).
+    Off-TPU falls back to the native rfft."""
+    if n is None:
+        n = x.shape[-1]
+    if _use_native() or (n & (n - 1)) or x.dtype == jnp.float64:
+        return jnp.fft.rfft(x, n=n)
+    if x.shape[-1] > n:
+        x = x[..., :n]
+    elif x.shape[-1] < n:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])])
+    W = jnp.asarray(_rfft_direct_consts(n))
+    h = n // 2 + 1
+    y = jnp.einsum("...t,tk->...k", x.astype(jnp.float32), W,
+                   precision=precision)
+    return jax.lax.complex(y[..., :h], y[..., h:])
+
+
 def rfft_noise_grade(x: jnp.ndarray, n: int | None = None) -> jnp.ndarray:
     """rfft for NOISE-GRADE inputs: single (rows, n) x (n, 2h) bf16 MXU
     matmul (f32 accumulation), rel err ~4e-3 — three orders below any

@@ -163,8 +163,12 @@ def _track_one(sig, n_frames, *, fs: int, n_frames_max: int):
     states = tracker._viterbi(vals, lags, valid, fs_a=fs_a)
 
     voiced = (states < tracker.N_CAND) & valid
-    lag_sel = jnp.take_along_axis(
-        lags, jnp.clip(states, 0, tracker.N_CAND - 1)[:, None], axis=1)[:, 0]
+    # one-hot mask-reduce, not take_along_axis: element gathers from the
+    # minor axis lower to scalar-at-a-time fusions on TPU (see
+    # tracker._candidates)
+    sel = (jnp.arange(tracker.N_CAND)[None, :] ==
+           jnp.clip(states, 0, tracker.N_CAND - 1)[:, None])
+    lag_sel = jnp.sum(jnp.where(sel, lags, 0.0), axis=1)
     f0 = jnp.where(voiced & (lag_sel > 0),
                    fs_a / jnp.maximum(lag_sel, 1.0), 0.0)
     return y_snap, f0, voiced.astype(jnp.float32)

@@ -353,15 +353,20 @@ def bench_phase1_breakdown(batch=24):
         def loop(sigs, n_frames, *, iters):
             def body(acc, i):
                 def one(sig, nf):
+                    # probes consume every live output fully so no stage
+                    # is partially dead-code-eliminated
                     xa, y_snap = trk._preprocess(
                         sig.at[0].set(i.astype(sig.dtype)), fs=fs)
-                    out = jnp.sum(xa[::4096]) + jnp.sum(y_snap[::4096])
+                    out = jnp.sum(jnp.abs(xa)) + jnp.sum(jnp.abs(y_snap))
                     if upto >= 1:
                         nccf, valid = trk._nccf(xa, nf, n_frames_max=Tmax,
                                                 fs_a=fs_a)
-                        vals, lags = trk._candidates(nccf)
-                        out = out + jnp.sum(vals[:, 0])
+                        out = out + jnp.sum(jnp.abs(nccf))
                     if upto >= 2:
+                        vals, lags = trk._candidates(nccf)
+                        out = out + jnp.sum(jnp.abs(vals)) + \
+                            jnp.sum(jnp.abs(lags))
+                    if upto >= 3:
                         states = trk._viterbi(vals, lags, valid, fs_a=fs_a)
                         out = out + jnp.sum(states).astype(jnp.float32)
                     return out
@@ -373,10 +378,12 @@ def bench_phase1_breakdown(batch=24):
     sf = sigs_d.astype(jnp.float32)
     t_pre = timed(lambda it: stage_loop(0)(sf, n_frames_d, iters=it))
     t_nccf = timed(lambda it: stage_loop(1)(sf, n_frames_d, iters=it))
-    t_vit = timed(lambda it: stage_loop(2)(sf, n_frames_d, iters=it))
+    t_cand = timed(lambda it: stage_loop(2)(sf, n_frames_d, iters=it))
+    t_vit = timed(lambda it: stage_loop(3)(sf, n_frames_d, iters=it))
     print(f"  preprocess: {t_pre*1e3:6.1f} ms", flush=True)
-    print(f"  nccf+cand:  {(t_nccf-t_pre)*1e3:6.1f} ms", flush=True)
-    print(f"  viterbi:    {(t_vit-t_nccf)*1e3:6.1f} ms", flush=True)
+    print(f"  nccf:       {(t_nccf-t_pre)*1e3:6.1f} ms", flush=True)
+    print(f"  candidates: {(t_cand-t_nccf)*1e3:6.1f} ms", flush=True)
+    print(f"  viterbi:    {(t_vit-t_cand)*1e3:6.1f} ms", flush=True)
 
     @functools.partial(jax.jit, static_argnames=("iters",))
     def loop_full(sigs, n_sigs, n_frames, *, iters):

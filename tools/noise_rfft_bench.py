@@ -38,6 +38,8 @@ def main():
     impls = {
         "two_stage_f32": lambda a: matfft.rfft(a, n=n),
         "direct_bf16": lambda a: matfft.rfft_noise_grade(a, n=n),
+        "direct_high": lambda a: matfft.rfft_direct(a, n=n,
+                                                    precision="high"),
         "native": lambda a: jnp.fft.rfft(a, n=n),
     }
 
