@@ -10,6 +10,7 @@ all shardable over the 'data' mesh axis.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -225,6 +226,17 @@ _fused_track_lossless_kernel = functools.partial(
         _fused_track_lossless_impl)
 
 
+def _compressed_rfft_mode() -> str:
+    """Forward-DFT implementation for the MEL-COMPRESSED analysis
+    kernels (the lossless kernels always use the exact native FFT).
+    'direct_high' (default): single-matmul 3-pass DFT, rel err ~1e-5 —
+    an order below the pipeline's own f16 feature transport — measured
+    faster than the native FFT at the hot (rows, 4096) shape.
+    MAGPHASE_ANALYSIS_RFFT={native,direct_high,direct_bf16} overrides
+    (bf16 is ~2x faster again at ~2e-3, for throughput-first runs)."""
+    return os.environ.get("MAGPHASE_ANALYSIS_RFFT", "direct_high")
+
+
 def _compress_streams(mag, real, imag, f0, *, mag_dim, phase_dim,
                       mag_dim_ph, alpha, alpha_phase):
     """(B, F, h) lossless streams -> (B, F, dims) compressed streams + lf0
@@ -292,7 +304,8 @@ def _analyze_compress_impl(sigs, marks, flags, n_marks, n_sigs, *,
     marks = marks[:, :F]
     flags = flags[:, :F]
     mag, real, imag, f0, shift = analysis_core_batch(
-        sigs, marks, n_marks, n_sigs, flags, fft_len=fft_len, fs=fs)
+        sigs, marks, n_marks, n_sigs, flags, fft_len=fft_len, fs=fs,
+        rfft_mode=_compressed_rfft_mode())
     if fc_max > 0:
         mag, real, imag, f0, n_valid = _const_resample_batch(
             mag, real, imag, f0, marks, n_marks,
@@ -445,7 +458,8 @@ def _fused_compressed_impl(sigs, pm, nfrms, n_sig, voi, *, fft_len, fs,
     from ..vocoder.lossless import analysis_core_batch
 
     mag, real, imag, f0, shift = analysis_core_batch(
-        sigs, pm, nfrms, n_sig, voi, fft_len=fft_len, fs=fs)
+        sigs, pm, nfrms, n_sig, voi, fft_len=fft_len, fs=fs,
+        rfft_mode=_compressed_rfft_mode())
     if fc_max > 0:
         mag, real, imag, f0, n_valid = _const_resample_batch(
             mag, real, imag, f0, pm, nfrms,

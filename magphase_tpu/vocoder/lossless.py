@@ -33,21 +33,31 @@ _f32 = jnp.float32
 # jitted kernels
 
 def analysis_core_batch(sig, pm, nfrms, n_sig, voi, *, fft_len: int,
-                        fs: int):
+                        fs: int, rfft_mode: str = "native"):
     """Batched pitch-sync windowing + delay compensation + rfft + lossless
     feats.  sig (B,S), pm/voi (B,F), nfrms/n_sig (B,).
 
     Equivalent to analysis_with_del_comp_from_pm (magphase.py:266-334) +
     compute_lossless_feats (magphase.py:457-476).
     Returns (mag, real, imag, f0, shift) with (B, F, ...) shapes.
+
+    ``rfft_mode`` picks the forward-DFT implementation per CALLER:
+    'native' (exact, the LOSSLESS analysis default — its contract is
+    bit-matching features), 'direct_high' (single-matmul 3-pass DFT,
+    rel err ~1e-5) or 'direct_bf16' (single bf16 pass, rel err ~2e-3)
+    for the mel-compressed pipeline, whose own f16 feature transport
+    already sits at 1e-3.  The old two-stage matmul DFT measured 2.5%
+    slower than native here; the direct forms are faster (see
+    tools/noise_rfft_bench.py at (12288, 4096)).
     """
     frames, L, R, valid = framing.pitch_sync_frames_batch(
         sig, pm, nfrms, n_sig, fft_len, win_family=HANNING)
-    # forward analysis keeps the NATIVE FFT: at fft_len 4096 the matmul
-    # DFT measured 2.5% SLOWER inside the fused analyse+compress phase
-    # (1171 vs 1201 audio-s/s device) while winning 7% in synthesis —
-    # chosen per callsite from the A/B (tools/device_bench.py)
-    spec = jnp.fft.rfft(frames)
+    if rfft_mode == "direct_high":
+        spec = matfft.rfft_direct(frames, precision="high")
+    elif rfft_mode == "direct_bf16":
+        spec = matfft.rfft_noise_grade(frames)
+    else:
+        spec = jnp.fft.rfft(frames)
 
     m_mag = jnp.abs(spec)
     m_div = jnp.where(m_mag == 0.0, 1.0, m_mag)

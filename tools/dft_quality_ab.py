@@ -28,6 +28,7 @@ def run_one(out_npz: str, exact: bool, wav: str):
     if exact:
         env["MAGPHASE_NOISE_RFFT"] = "f32"
         env["MAGPHASE_IRFFT"] = "two_stage"
+        env["MAGPHASE_ANALYSIS_RFFT"] = "native"
     code = f"""
 import sys, numpy as np
 sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})

@@ -10,6 +10,10 @@ import json
 import os
 import sys
 
+# must be set before ANY protobuf import (jax pulls protobuf in): the
+# image's C++ descriptor pool rejects the profiler plugin's generated pb2s
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
@@ -54,6 +58,26 @@ def capture(which: str, batch: int, logdir: str):
             sigs_d, marks, flags, n_marks, n_sigs_d, fs=FS,
             fft_len=fft_len, F=Fa, mag_dim=60, phase_dim=45,
             mag_dim_ph=mdp, alpha=alpha, alpha_phase=alpha, fc_max=0)
+    elif which == "synth":
+        import jax.numpy as jnp
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from device_bench import prepare_args, PRED_DIR, TOKENS
+        from magphase_tpu.io import read_binfile
+        from magphase_tpu.parallel import batch as pb
+
+        utts = []
+        for i in range(max(batch, 128)):
+            t = TOKENS[i % len(TOKENS)]
+            utts.append(
+                (read_binfile(os.path.join(PRED_DIR, t + ".mag"), 60),
+                 read_binfile(os.path.join(PRED_DIR, t + ".real"), 45),
+                 read_binfile(os.path.join(PRED_DIR, t + ".imag"), 45),
+                 np.atleast_1d(read_binfile(
+                     os.path.join(PRED_DIR, t + ".lf0"), 1))))
+        args, statics, _ = prepare_args(utts, FS, 4096)
+        import jax as _jax
+        keys = _jax.random.split(_jax.random.PRNGKey(0), args[0].shape[0])
+        fn = lambda: pb._fused_batch_kernel(*args, keys, **statics)
     else:
         raise SystemExit(f"unknown target {which}")
 
@@ -71,7 +95,12 @@ def capture(which: str, batch: int, logdir: str):
 
 
 def report(logdir: str, top: int = 25):
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+    # xprof's converter (the tensorboard_plugin_profile one in this image
+    # is incompatible with its TF); needs
+    # PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python
+    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION",
+                          "python")
+    from xprof.convert import raw_to_tool_data as rtd
 
     runs = sorted(glob.glob(os.path.join(logdir, "plugins/profile/*")))
     assert runs, f"no profile runs under {logdir}"
