@@ -148,10 +148,10 @@ def hermitian_fold_weights(n: int) -> np.ndarray:
 def _rfft_direct_consts(n: int):
     """(n, 2h) packed [cos | sin] forward-DFT matrix (real float32).
 
-    One dense matmul computes the full rfft: y = x @ W gives
-    y[..., :h] = Re(X), y[..., h:] = -Im(X)... sign convention: columns
-    are cos(-2pi t k / n) and sin(-2pi t k / n), so y[..., h:] = Im(X)
-    directly.  4x the FLOPs of the two-stage split but ZERO intermediate
+    One dense matmul computes the full rfft: columns are cos(-2pi t k / n)
+    and sin(-2pi t k / n), so y = x @ W gives y[..., :h] = Re(X) and
+    y[..., h:] = Im(X) directly.  4x the FLOPs of the two-stage split but
+    ZERO intermediate
     relayouts — the two-stage form is layout-bound on TPU (measured:
     3-pass vs 6-pass identical), so for noise-grade precision a single
     bf16 MXU pass wins (see rfft_noise_grade).
@@ -196,7 +196,7 @@ def rfft_noise_grade(x: jnp.ndarray, n: int | None = None) -> jnp.ndarray:
     for A/B."""
     if n is None:
         n = x.shape[-1]
-    if (_use_native() or (n & (n - 1))
+    if (_use_native() or (n & (n - 1)) or x.dtype == jnp.float64
             or os.environ.get("MAGPHASE_NOISE_RFFT") == "f32"):
         return rfft(x, n=n)
     if x.shape[-1] > n:

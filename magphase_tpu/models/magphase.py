@@ -80,9 +80,21 @@ class MagPhaseVocoder:
         return synthesis_from_lossless(m_mag, m_real, m_imag, v_f0, self.fs)
 
     def synthesize(self, m_mag_mel_log, m_real_mel, m_imag_mel, v_lf0,
-                   *_ignored, key=None) -> np.ndarray:
+                   v_shift=None, fs=None, fft_len=None, *, key=None
+                   ) -> np.ndarray:
         """Waveform from compressed/predicted features — magphase.py:825
-        (with the post-filter of ``pf_type`` applied first, 3259-3268)."""
+        (with the post-filter of ``pf_type`` applied first, 3259-3268).
+
+        Accepts the full 7-tuple of :meth:`analyze` (``synthesize(*feats)``);
+        the trailing ``v_shift``/``fs``/``fft_len`` are informational, but
+        a conflicting ``fs`` or ``fft_len`` raises rather than being
+        silently ignored."""
+        if fs is not None and int(fs) != self.fs:
+            raise ValueError(f"feature fs {fs} != vocoder fs {self.fs}")
+        if fft_len is not None and int(fft_len) != self.fft_len:
+            raise ValueError(
+                f"feature fft_len {fft_len} != vocoder fft_len "
+                f"{self.fft_len}")
         from ..vocoder import synthesis_from_compressed
         mag = self._post_filtered(m_mag_mel_log)
         return synthesis_from_compressed(

@@ -19,6 +19,8 @@ from .phase_comp import (analysis_compressed_type1_with_phase_comp,
                          format_for_modelling_phase_comp,
                          synthesis_from_compressed_type1_with_phase_comp)
 from .griffin_lim import griffin_lim
+from .lossless_f64 import (analysis_lossless_f64, copy_synthesis_f64,
+                           synthesis_from_lossless_f64)
 from . import framerate
 
 __all__ = [
@@ -38,4 +40,6 @@ __all__ = [
     "get_num_full_mel_coeffs_from_num_phase_coeffs",
     "post_filter", "post_filter_merlin", "post_filter_dev",
     "post_filter_backup_old", "framerate",
+    "analysis_lossless_f64", "synthesis_from_lossless_f64",
+    "copy_synthesis_f64",
 ]

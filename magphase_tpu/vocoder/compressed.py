@@ -158,10 +158,16 @@ def format_for_modelling(m_mag, m_real, m_imag, v_f0, fs: int,
 def analysis_compressed(wav_file: str, fft_len: int | None = None,
                         mag_dim: int = 60, phase_dim: int = 10,
                         b_const_rate: bool = False,
+                        b_mag_fbank_mel: bool = False,
                         alpha_phase: float | None = None,
                         est_file: str | None = None,
                         pm_sec=None, voi=None):
-    """magphase.py:2947-2988."""
+    """magphase.py:2947-2988.
+
+    ``b_mag_fbank_mel``: compress mag with the filter-bank warp.  The
+    reference accepts this flag (magphase.py:2948) but silently drops it
+    (format_for_modelling is called without it at 2985) — here it is
+    actually forwarded, matching the flag's documented intent."""
     m_mag, m_real, m_imag, v_f0, fs, v_shift = lossless.analysis_lossless(
         wav_file, fft_len=fft_len, est_file=est_file, pm_sec=pm_sec, voi=voi)
 
@@ -185,7 +191,8 @@ def analysis_compressed(wav_file: str, fft_len: int | None = None,
 
     m_mag_mel_log, m_real_mel, m_imag_mel, v_lf0 = format_for_modelling(
         m_mag, m_real, m_imag, v_f0, fs, mag_dim=mag_dim,
-        phase_dim=phase_dim, alpha_phase=alpha_phase)
+        phase_dim=phase_dim, b_mag_fbank_mel=b_mag_fbank_mel,
+        alpha_phase=alpha_phase)
     fft_len = 2 * (m_mag.shape[1] - 1)
     return m_mag_mel_log, m_real_mel, m_imag_mel, v_lf0, v_shift, fs, fft_len
 
@@ -230,19 +237,27 @@ def phase_uncompress_type1_mcep(m_real_mel, m_imag_mel, alpha: float,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("fft_len", "mag_dim_ph", "alpha", "alpha_phase"))
+    jax.jit, static_argnames=("fft_len", "mag_dim_ph", "alpha", "alpha_phase",
+                              "b_fbank_mel"))
 def _unwarp_kernel(m_mag_mel_log, m_real_mel, m_imag_mel, *, fft_len: int,
-                   mag_dim_ph: int, alpha: float, alpha_phase: float):
+                   mag_dim_ph: int, alpha: float, alpha_phase: float,
+                   b_fbank_mel: bool = False):
     """Mel-unwarp of the three streams to full resolution
     (magphase.py:850-858).  Accepts float16 inputs (the production paths
     upload quantised features to halve host-link bytes) and computes in
-    float32."""
+    float32.  ``b_fbank_mel`` selects the filter-bank mag unwarp
+    (magphase.py:851-852) instead of the mcep cosine-matrix one."""
     h = fft_len // 2 + 1
     m_mag_mel_log = m_mag_mel_log.astype(jnp.float32)
     m_real_mel = m_real_mel.astype(jnp.float32)
     m_imag_mel = m_imag_mel.astype(jnp.float32)
-    m_mag = jnp.exp(melcep.sp_mel_unwarp(m_mag_mel_log, h, alpha=alpha,
-                                         in_type="log"))
+    if b_fbank_mel:
+        from ..core import fbank
+        m_mag = jnp.exp(fbank.sp_mel_unwarp_fbank(m_mag_mel_log, h,
+                                                  alpha=alpha))
+    else:
+        m_mag = jnp.exp(melcep.sp_mel_unwarp(m_mag_mel_log, h, alpha=alpha,
+                                             in_type="log"))
     m_real_ext = extend_nearest_coeffs(m_real_mel, mag_dim_ph)
     m_imag_ext = extend_nearest_coeffs(m_imag_mel, mag_dim_ph)
     m_real = melcep.sp_mel_unwarp(m_real_ext, h, alpha=alpha_phase,
@@ -475,12 +490,17 @@ _synthesis_core_kernel = functools.partial(
 def synthesis_from_compressed(m_mag_mel_log, m_real_mel, m_imag_mel, v_lf0,
                               fs: int, fft_len: int | None = None,
                               b_voi_ap_win: bool = True,
+                              b_fbank_mel: bool = False,
                               b_const_rate: bool = False,
                               per_phase_type: str = "magphase",
                               alpha_phase: float | None = None,
                               b_out_hpf: bool = True,
                               key=None) -> np.ndarray:
-    """Primary v2.0 synthesis entry (magphase.py:825-997)."""
+    """Primary v2.0 synthesis entry (magphase.py:825-997).
+
+    ``b_fbank_mel``: mag was compressed with the filter-bank warp
+    (analysis_compressed's ``b_mag_fbank_mel``) — unwarp it through
+    sp_mel_unwarp_fbank (magphase.py:851-852) instead of the mcep path."""
     alpha = define_alpha(fs)
     if fft_len is None:
         fft_len = define_fft_len(fs)
@@ -526,7 +546,7 @@ def synthesis_from_compressed(m_mag_mel_log, m_real_mel, m_imag_mel, v_lf0,
         jnp.asarray(pad_to(m_real_mel.astype(np.float16), Fin)),
         jnp.asarray(pad_to(m_imag_mel.astype(np.float16), Fin)),
         fft_len=fft_syn, mag_dim_ph=mag_dim_ph, alpha=alpha,
-        alpha_phase=alpha_phase)
+        alpha_phase=alpha_phase, b_fbank_mel=b_fbank_mel)
     n_in = m_mag_mel_log.shape[0]
     m_mag_d = m_mag_d[:n_in]
     m_real_d = m_real_d[:n_in]

@@ -226,6 +226,48 @@ def test_post_filter_merlin_numpy_oracle(predicted_params):
                                atol=1e-3)
 
 
+def test_fbank_mel_end_to_end_roundtrip():
+    """b_mag_fbank_mel / b_fbank_mel wired through the LIVE entries
+    (magphase.py:2948 / :840-852): analysis compresses mag with the
+    filter-bank warp, synthesis unwarps through sp_mel_unwarp_fbank, and
+    the loop reconstructs recognisable speech.  (The reference accepts
+    b_mag_fbank_mel on analysis_compressed but silently drops it; here
+    the flag is honoured end to end.)"""
+    from magphase_tpu.vocoder import analysis_compressed
+    from magphase_tpu.utils.eval import mel_spectral_distortion
+
+    wav = "/root/reference/demos/data_48k/wavs_nat/hvd_593.wav"
+    fix = np.load(os.path.join(os.path.dirname(__file__), "data",
+                               "epochs_48k.npz"))
+    pm_sec, voi = fix["hvd_593_pm"], fix["hvd_593_voi"]
+
+    fb = analysis_compressed(wav, mag_dim=60, phase_dim=45,
+                             b_mag_fbank_mel=True, pm_sec=pm_sec, voi=voi)
+    mc = analysis_compressed(wav, mag_dim=60, phase_dim=45,
+                             pm_sec=pm_sec, voi=voi)
+    # the flag must actually change the mag stream (not the phase ones)
+    assert np.abs(fb[0] - mc[0]).max() > 0.1
+    np.testing.assert_allclose(fb[1], mc[1], atol=1e-12)
+
+    syn = synthesis_from_compressed(fb[0], fb[1], fb[2], fb[3], 48000,
+                                    b_fbank_mel=True,
+                                    key=jax.random.PRNGKey(3))
+    assert np.all(np.isfinite(syn))
+    from magphase_tpu.io import read_wav
+    sig, fs = read_wav(wav)
+    # fbank compression is the reference's experimental path ("didn't
+    # work very well", magphase.py:3028) — gate loosely vs the natural
+    # signal, and require it is at least in the speech ballpark
+    msd = mel_spectral_distortion(sig, np.asarray(syn), fs, floor_db=40.0)
+    # recorded: 7.84 dB (vs ~6.1 for the mcep path on this utterance)
+    assert msd < 9.5, msd
+    # the unwarp flag must select a genuinely different mag path
+    syn_mcep = synthesis_from_compressed(fb[0], fb[1], fb[2], fb[3],
+                                         48000, b_fbank_mel=False,
+                                         key=jax.random.PRNGKey(3))
+    assert np.abs(syn - syn_mcep).max() > 1e-4
+
+
 def test_var_const_rate_interp_roundtrip():
     """var->const then const->var recovers smooth features."""
     fs = 48000

@@ -84,6 +84,52 @@ def test_irfft_direct(n, monkeypatch):
         assert np.abs(got - ref).max() / scale < 2e-6, prec
 
 
+@pytest.mark.parametrize("n", [1024, 2048, 4096])
+def test_rfft_direct(n, monkeypatch):
+    """Single-matmul forward DFT at 'high'/'highest' precision — the
+    production default for compressed analysis (rfft_mode='direct_high',
+    parallel/analysis_batch.py:_compressed_rfft_mode); ~f32 accuracy."""
+    monkeypatch.setenv("MAGPHASE_MATFFT", "1")
+    rng = np.random.RandomState(7)
+    x = rng.randn(4, n).astype(np.float32)
+    ref = np.fft.rfft(x.astype(np.float64))
+    scale = np.abs(ref).max()
+    for prec in ("high", "highest"):
+        got = np.asarray(matfft.rfft_direct(jnp.asarray(x), precision=prec))
+        assert got.dtype == np.complex64
+        assert np.abs(got - ref).max() / scale < 1e-5, prec
+    # pad/truncate semantics match jnp.fft.rfft
+    got_p = np.asarray(matfft.rfft_direct(jnp.asarray(x[:, :n - 100]), n=n))
+    ref_p = np.fft.rfft(x[:, :n - 100].astype(np.float64), n=n)
+    assert np.abs(got_p - ref_p).max() / np.abs(ref_p).max() < 1e-5
+    # float64 input falls back to the exact native path (needs x64 on —
+    # with it off jnp silently downcasts and the guard is unreachable)
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    try:
+        x64 = jnp.asarray(x.astype(np.float64))
+        assert x64.dtype == jnp.float64
+        got64 = np.asarray(matfft.rfft_direct(x64))
+    finally:
+        jax.config.update("jax_enable_x64", False)
+    assert np.abs(got64 - ref).max() / scale < 1e-9
+
+
+def test_rfft_noise_grade_float64_fallback(monkeypatch):
+    """float64 input must take the exact native path, not be crushed to
+    bfloat16 (ADVICE r3)."""
+    import jax
+    monkeypatch.setenv("MAGPHASE_MATFFT", "1")
+    x = np.random.RandomState(8).randn(2, 1024)
+    ref = np.fft.rfft(x)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        got = np.asarray(matfft.rfft_noise_grade(jnp.asarray(x)))
+    finally:
+        jax.config.update("jax_enable_x64", False)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-9
+
+
 def test_disabled_matches_exactly(monkeypatch):
     monkeypatch.setenv("MAGPHASE_MATFFT", "0")
     x = np.random.RandomState(4).randn(2, 512).astype(np.float32)

@@ -249,7 +249,15 @@ def bench_phase2_breakdown(batch=24):
         # crash the TPU worker on this backend
         if upto == 0:
             return jnp.sum(jnp.abs(frames))
-        spec = jnp.fft.rfft(frames)
+        # production forward-DFT path (direct_high by default) so the
+        # '+rfft' stage attributes time to the kernel the pipeline runs
+        rfft_mode = ab._compressed_rfft_mode()
+        if rfft_mode == "direct_high":
+            spec = matfft.rfft_direct(frames, precision="high")
+        elif rfft_mode == "direct_bf16":
+            spec = matfft.rfft_noise_grade(frames)
+        else:
+            spec = jnp.fft.rfft(frames)
         if upto == 1:
             return jnp.sum(jnp.abs(spec.real)) + jnp.sum(jnp.abs(spec.imag))
         m_mag = jnp.abs(spec)
