@@ -179,7 +179,13 @@ def cmd_generate(args) -> int:
     setup_logging()
     tokens = read_scp_file(args.scp)
     mkdir(args.out_dir)
-    key = jax.random.PRNGKey(args.seed)
+    # per-utterance noise keys by GLOBAL scp index (jax.random.split is
+    # prefix-stable): utterance audio is identical under any chunking,
+    # host partitioning or batch size — multi-host output merges
+    # byte-identical to a single-host run (tests/test_multihost_corpus.py)
+    all_keys = np.asarray(jax.random.split(
+        jax.random.PRNGKey(args.seed), max(len(tokens), 1)), np.uint32)
+    key_of = {tok: all_keys[i] for i, tok in enumerate(tokens)}
     config = {"fs": args.fs, "mag_dim": args.mag_dim,
               "phase_dim": args.phase_dim, "pf_type": args.pf_type,
               "const_rate": args.const_rate}
@@ -191,12 +197,11 @@ def cmd_generate(args) -> int:
         from .vocoder import synthesis_from_acoustic_modelling
 
         def process(tok):
-            nonlocal key
-            key, sub = jax.random.split(key)
             synthesis_from_acoustic_modelling(
                 args.feats_dir, tok, args.out_dir, args.mag_dim,
                 args.phase_dim, args.fs, pf_type=args.pf_type,
-                b_const_rate=True, key=sub)
+                b_const_rate=True,
+                key=jax.numpy.asarray(key_of[tok]))
 
         res = run_corpus(tokens, process, args.out_dir, config=config,
                          crash_list_path=args.crash_list,
@@ -205,7 +210,6 @@ def cmd_generate(args) -> int:
         return 1 if res.failed else 0
 
     def process_batch(chunk):
-        nonlocal key
         utts = []
         for tok in chunk:
             d = args.feats_dir
@@ -214,16 +218,16 @@ def cmd_generate(args) -> int:
                 read_binfile(os.path.join(d, tok + ".real"), args.phase_dim),
                 read_binfile(os.path.join(d, tok + ".imag"), args.phase_dim),
                 read_binfile(os.path.join(d, tok + ".lf0"), 1)))
-        key, sub = jax.random.split(key)
         # async dispatch: the runner keeps two chunks in flight so the
         # next chunk's feature reads + upload overlap this one's device
         # time.  pcm16: peak-norm + quantise on device — the (dominant)
         # waveform download halves and the host writes raw frames
         from .io.wav import write_wav_pcm16
         bufs, lens = synthesis_from_compressed_batch(
-            utts, args.fs, pf_type=args.pf_type, key=sub,
+            utts, args.fs, pf_type=args.pf_type,
+            keys=np.stack([key_of[t] for t in chunk]),
             b_out_hpf=not args.no_hpf, block_result=False, mesh=mesh,
-            pcm16=True)
+            pcm16=True, det_fft_syn=True)
 
         def finalize():
             host = jax.device_get(bufs)

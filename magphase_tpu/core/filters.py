@@ -126,7 +126,8 @@ def _sos_ir_trimmed(sos, ntaps: int):
     return h[:m]
 
 
-def sosfilt(sos, x: jnp.ndarray, ntaps: int = 16384) -> jnp.ndarray:
+def sosfilt(sos, x: jnp.ndarray, ntaps: int = 16384,
+            mode: str = "auto") -> jnp.ndarray:
     """Cascaded-biquad IIR filter (scipy.signal.sosfilt semantics, zero
     initial state) as FFT convolution with the exact truncated impulse
     response.
@@ -143,16 +144,26 @@ def sosfilt(sos, x: jnp.ndarray, ntaps: int = 16384) -> jnp.ndarray:
     the whole-signal form wastes up to 2x for unlucky lengths, where
     blocked 32k-sample sections (~1.28x points at this h length, plus
     better batched-FFT efficiency) win; at lucky lengths the whole-signal
-    form is tighter and skips the overlapped-block materialisation."""
+    form is tighter and skips the overlapped-block materialisation.
+
+    ``mode='blocked'`` pins overlap-save with a SIGNAL-LENGTH-INDEPENDENT
+    block size: output sample i then depends only on x[:i+1] and the
+    fixed block grid, never on how far the row was padded — the batched
+    corpus synthesis uses this so each utterance's audio is bitwise
+    invariant to batch composition (multi-host merges byte-identical to
+    single-host runs, tests/test_multihost_corpus.py)."""
     n = x.shape[0]
     h = _sos_ir_trimmed(tuple(map(tuple, sos)), ntaps)
     m = len(h)
     cdtype = (np.complex64 if x.dtype == jnp.float32 else np.complex128)
-    whole_pts = 1 << int(np.ceil(np.log2(n + m)))
-    nblk = 1 << int(np.ceil(np.log2(max(4 * m, min(n + m, 32768)))))
+    if mode == "blocked":
+        nblk = 1 << int(np.ceil(np.log2(max(4 * m, 32768))))
+    else:
+        nblk = 1 << int(np.ceil(np.log2(max(4 * m, min(n + m, 32768)))))
     L = nblk - (m - 1)
     nblocks = -(-n // L)
-    if whole_pts <= 1.1 * nblocks * nblk:
+    whole_pts = 1 << int(np.ceil(np.log2(n + m)))
+    if mode != "blocked" and whole_pts <= 1.1 * nblocks * nblk:
         X = jnp.fft.rfft(x, n=whole_pts)
         H = np.fft.rfft(h, n=whole_pts).astype(cdtype)
         return jnp.fft.irfft(X * H, n=whole_pts)[:n].astype(x.dtype)

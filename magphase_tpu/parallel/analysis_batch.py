@@ -162,15 +162,14 @@ def _run_kernel(jitted, impl, mesh, args, static_kw):
     return sharded_kernel(impl, mesh, len(args), static_kw)(*args)
 
 
-def _device_signal_batch(signals: list, fs: int, mesh=None,
-                         fft_len: int = 4096):
-    """Bucket/pad a list of signals for the fused tracker kernels.
+def _host_signal_batch(signals: list, fs: int, mesh=None,
+                       fft_len: int = 4096):
+    """Host half of the signal-batch assembly (no device transfer).
 
-    Returns (signals_incl_dummies, (sigs_d, n_sigs_d, n_frames_d),
+    Returns (signals_incl_dummies, (sigs, n_sigs, n_frames) numpy,
     S, Tmax, m_max, n_real).  The batch axis is padded with short silent
     dummies to a bucket step (compile-variant bounding) capped by the HBM
-    budget — a single long utterance must not be padded to a batch of 8 —
-    and optionally sharded over a 1-D data mesh.
+    budget — a single long utterance must not be padded to a batch of 8.
     """
     n_real = len(signals)
     S, m_max, max_b = _budget_geometry(signals, fs, fft_len, mesh)
@@ -180,14 +179,33 @@ def _device_signal_batch(signals: list, fs: int, mesh=None,
     sigs = assemble_signal_rows(signals, B, S)
     n_sigs = np.asarray([len(s) for s in signals], np.int32)
     n_frames, Tmax = _tracker_frame_geometry(signals, fs)
+    return signals, (sigs, n_sigs, n_frames), S, Tmax, m_max, n_real
 
-    sigs_d = jnp.asarray(sigs)
-    n_sigs_d = jnp.asarray(n_sigs)
-    n_frames_d = jnp.asarray(n_frames)
+
+def _upload_signal_batch(host_arrays, mesh=None):
+    """Device half: push (sigs, n_sigs, n_frames), optionally sharded.
+
+    Blocks until the transfer lands so the upload's cost is paid HERE —
+    on the pipeline's upload thread — not inside the next kernel
+    dispatch on the compute thread (device_put is fire-and-forget even
+    in the tunnel's per-dispatch-sync mode)."""
+    sigs_d, n_sigs_d, n_frames_d = (jnp.asarray(a) for a in host_arrays)
     if mesh is not None:
         sigs_d, n_sigs_d, n_frames_d = shard_batch(
             mesh, sigs_d, n_sigs_d, n_frames_d)
-    return signals, (sigs_d, n_sigs_d, n_frames_d), S, Tmax, m_max, n_real
+    jax.block_until_ready(sigs_d)
+    return sigs_d, n_sigs_d, n_frames_d
+
+
+def _device_signal_batch(signals: list, fs: int, mesh=None,
+                         fft_len: int = 4096):
+    """Bucket/pad a list of signals for the fused tracker kernels and
+    upload them (host assembly + transfer in one step; the pipelined
+    paths split these across threads)."""
+    signals, host, S, Tmax, m_max, n_real = _host_signal_batch(
+        signals, fs, mesh, fft_len)
+    return (signals, _upload_signal_batch(host, mesh), S, Tmax, m_max,
+            n_real)
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
@@ -290,14 +308,21 @@ def _analyze_compress_impl(sigs, marks, flags, n_marks, n_sigs, *,
                              fs: int, fft_len: int, F: int, mag_dim: int,
                              phase_dim: int, mag_dim_ph: int, alpha: float,
                              alpha_phase: float, fc_max: int = 0,
-                             feats_f16: bool = False):
+                             feats_f16: bool = False, pack: bool = False):
     """Phase 2: analysis + mel-compression at the REALISED frame bucket F.
 
     The walk capacity m_max is the 400-marks/s worst case; real speech
     places ~40% of that, so running the FFT + mcep solve at
     F = bucket(max n_marks) instead of m_max cuts the padded frame
     compute ~2x.  Only the tiny n_marks array crosses the host link
-    between the phases (the signals and marks stay on device)."""
+    between the phases (the signals and marks stay on device).
+
+    ``pack`` (variable-rate only): return (feats, aux, n_valid) with the
+    mel streams concatenated into ONE (B, F, mag+2*phase) tensor and
+    lf0/shift stacked into (B, F, 2) f32 — the tunnel moves one big
+    transfer at ~2x the MB/s of several small ones
+    (tools/link_experiments.py 'chunks'), and the download leg is the
+    pipeline's bottleneck."""
     from ..vocoder.lossless import analysis_core_batch
 
     sigs = _sigs_f32(sigs)
@@ -315,10 +340,16 @@ def _analyze_compress_impl(sigs, marks, flags, n_marks, n_sigs, *,
     mml, mrm, mim, lf0 = _compress_streams(
         mag, real, imag, f0, mag_dim=mag_dim, phase_dim=phase_dim,
         mag_dim_ph=mag_dim_ph, alpha=alpha, alpha_phase=alpha_phase)
+    if pack and fc_max == 0:
+        feats = jnp.concatenate([mml, mrm, mim], axis=-1)
+        if feats_f16:
+            # transfer encoding for the (download-bound) host link: the
+            # mel streams quantise to ~1e-3 relative — far below the mel
+            # compression error — lf0 (MAGIC -1e10) and shift stay f32
+            feats = feats.astype(jnp.float16)
+        aux = jnp.stack([lf0, shift.astype(jnp.float32)], axis=-1)
+        return feats, aux, n_valid
     if feats_f16:
-        # transfer encoding for the (download-bound) host link: the mel
-        # streams quantise to ~1e-3 relative — far below the mel
-        # compression error — while lf0 (MAGIC -1e10) and shift stay f32
         mml, mrm, mim = (x.astype(jnp.float16) for x in (mml, mrm, mim))
     return mml, mrm, mim, lf0, shift, n_valid
 
@@ -326,7 +357,8 @@ def _analyze_compress_impl(sigs, marks, flags, n_marks, n_sigs, *,
 _analyze_compress_kernel = functools.partial(
     jax.jit, static_argnames=("fs", "fft_len", "F", "mag_dim", "phase_dim",
                               "mag_dim_ph", "alpha", "alpha_phase",
-                              "fc_max", "feats_f16"))(_analyze_compress_impl)
+                              "fc_max", "feats_f16", "pack"))(
+                                  _analyze_compress_impl)
 
 
 def _analysis_batch_impl(sigs, pm, nfrms, n_sig, voi, *, fft_len: int,
@@ -578,8 +610,8 @@ def analysis_compressed_batch_async(signals: list, fs: int,
                                     alpha_phase: float | None = None,
                                     b_const_rate: bool = False,
                                     mesh=None, feat_dtype=np.float16):
-    """Dispatch the two-phase tracking -> analysis+compression production
-    path for one utterance batch WITHOUT blocking; returns
+    """Threaded three-stage tracking -> analysis+compression production
+    path for one utterance batch; work starts immediately, returns
     ``finalize() -> feats``.
 
     ``feat_dtype``: host-link transfer encoding for the mel streams
@@ -587,12 +619,16 @@ def analysis_compressed_batch_async(signals: list, fs: int,
     quantisation, far below the mel compression error — pass np.float32
     for bit-exact parity with the epochs-given sync path).
 
-    Phase 1 (tracking + on-device epoch placement) launches immediately;
-    phase 2 (analysis + compression at the realised frame bucket) is
-    launched inside finalize after syncing only the (B,) mark counts —
-    and for the NEXT group before downloading the current group's
-    features, so the device computes through every download.  The corpus
-    runner keeps two chunks in flight on top (run_corpus_batched)."""
+    Schedule (utils/pipeline.py:run_staged, one thread per stage): while
+    group k's two device programs run, group k+1's signal rows ride the
+    link upstream and group k-1's packed feature tensor rides it
+    downstream — the three legs overlap fully on the tunnel (measured:
+    tools/link_experiments.py 'duplex'), so steady-state cost is the
+    slowest leg, not the sum.  Downloads are packed into one (B, F, D)
+    f16 tensor + one (B, F, 2) f32 aux because one big transfer moves
+    ~2x the MB/s of several small ones ('chunks' experiment).  Replaces
+    the round-3 dispatch-chaining scheduler that ran at 29% of the link
+    bound (VERDICT r3 item 1a)."""
     alpha = define_alpha(fs)
     if fft_len is None:
         fft_len = define_fft_len(fs)
@@ -600,102 +636,103 @@ def analysis_compressed_batch_async(signals: list, fs: int,
         alpha_phase = alpha
     mag_dim_ph = get_num_full_mel_coeffs_from_num_phase_coeffs(
         define_crossfade_params(fs)[0], phase_dim, alpha_phase, fs)
+    feats_f16 = np.dtype(feat_dtype) == np.float16
 
-    def dispatch_group(group):
-        signals, dev, S, Tmax, m_max, n_real = _device_signal_batch(
+    def prep(group):
+        """Feeder thread: host-side batch assembly (numpy only)."""
+        signals_g, host, S, Tmax, m_max, n_real = _host_signal_batch(
             group, fs, mesh, fft_len=fft_len)
         fc_max = (bucket(int(np.ceil(S / (fs * 5.0 / 1000.0))), FRM_STEP)
                   if b_const_rate else 0)
-        # phase 1 (async): tracking + placement at the worst-case capacity
+        return dict(signals=signals_g, host=host, Tmax=Tmax, m_max=m_max,
+                    n_real=n_real, fc_max=fc_max)
+
+    def upload(p):
+        """Upload thread: push the signal rows (the upstream leg)."""
+        p["dev"] = _upload_signal_batch(p["host"], mesh)
+        del p["host"]
+        return p
+
+    def compute(p):
+        """Compute thread: phase 1, tiny mark-count sync, phase 2."""
+        dev = p["dev"]
         marks, flags, n_marks = _run_kernel(
             _track_place_kernel, _track_place_impl, mesh, dev,
-            dict(fs=fs, n_frames_max=Tmax, m_max=m_max))
+            dict(fs=fs, n_frames_max=p["Tmax"], m_max=p["m_max"]))
+        # the only inter-phase host transfer: (B,) mark counts.
+        # geometric frame bucket: the realised count varies per chunk by
+        # CONTENT, so linear bucketing would compile one variant per
+        # 128-frame step
+        nm = np.asarray(jax.device_get(n_marks))
+        Fa = min(p["m_max"], bucket_frames(int(nm.max())))
+        p["out"] = _run_kernel(
+            _analyze_compress_kernel, _analyze_compress_impl, mesh,
+            (dev[0], marks, flags, n_marks, dev[1]),
+            dict(fs=fs, fft_len=fft_len, F=Fa, mag_dim=mag_dim,
+                 phase_dim=phase_dim, mag_dim_ph=mag_dim_ph,
+                 alpha=alpha, alpha_phase=alpha_phase, fc_max=p["fc_max"],
+                 feats_f16=feats_f16, pack=(p["fc_max"] == 0)))
+        p["nm"] = nm
+        del p["dev"]
+        return p
 
-        def start_phase2():
-            # the only inter-phase host transfer: (B,) mark counts
-            nm = np.asarray(jax.device_get(n_marks))
-            # geometric frame bucket: the realised count varies per chunk
-            # by CONTENT, so linear bucketing would compile one variant
-            # per 128-frame step
-            Fa = min(m_max, bucket_frames(int(nm.max())))
-            # phase 2 (async): analysis + compression at the realised
-            # bucket — dispatched before the PREVIOUS group's download so
-            # the device computes through it
-            mml, mrm, mim, lf0, shift, n_valid = _run_kernel(
-                _analyze_compress_kernel, _analyze_compress_impl, mesh,
-                (dev[0], marks, flags, n_marks, dev[1]),
-                dict(fs=fs, fft_len=fft_len, F=Fa, mag_dim=mag_dim,
-                     phase_dim=phase_dim, mag_dim_ph=mag_dim_ph,
-                     alpha=alpha, alpha_phase=alpha_phase, fc_max=fc_max,
-                     feats_f16=(np.dtype(feat_dtype) == np.float16)))
+    def download(p):
+        """Download thread: pull the packed features (downstream leg)."""
+        nm, n_real = p["nm"], p["n_real"]
+        out = []
+        if p["fc_max"] == 0:
+            feats, aux, _ = p["out"]
+            feats, aux = jax.device_get((feats, aux))
+            for b in range(n_real):
+                n = int(nm[b])
+                f = feats[b, :n].astype(np.float64)
+                out.append((f[:, :mag_dim],
+                            f[:, mag_dim:mag_dim + phase_dim],
+                            f[:, mag_dim + phase_dim:],
+                            aux[b, :n, 0].astype(np.float64),
+                            aux[b, :n, 1].astype(np.int64)))
+        else:
+            mml, mrm, mim, lf0, shift, n_valid = p["out"]
+            nv = np.asarray(jax.device_get(n_valid))
+            Fv = bucket_frames(int(nv.max()))
+            a, b_, c, d = jax.device_get(_trim_frames(
+                (mml, mrm, mim, lf0), n=Fv))
+            sh = jax.device_get(shift)
+            for b in range(n_real):
+                n = int(nv[b])
+                out.append((a[b, :n].astype(np.float64),
+                            b_[b, :n].astype(np.float64),
+                            c[b, :n].astype(np.float64),
+                            d[b, :n].astype(np.float64),
+                            sh[b, :int(nm[b])].astype(np.int64)))
 
-            def download():
-                if fc_max > 0:
-                    nv = np.asarray(jax.device_get(n_valid))
-                    Fv = bucket_frames(int(nv.max()))
-                    a, b_, c, d = jax.device_get(_trim_frames(
-                        (mml, mrm, mim, lf0), n=Fv))
-                else:
-                    nv = nm
-                    a, b_, c, d = jax.device_get((mml, mrm, mim, lf0))
-                sh = jax.device_get(shift)
-                out = []
-                for b in range(n_real):
-                    n = int(nv[b])
-                    out.append((a[b, :n].astype(np.float64),
-                                b_[b, :n].astype(np.float64),
-                                c[b, :n].astype(np.float64),
-                                d[b, :n].astype(np.float64),
-                                sh[b, :int(nm[b])].astype(np.int64)))
+        # capacity-exhausted walks (pathological mark density): redo
+        # those with the exact host walk + given-epochs path
+        trunc = [b for b in range(n_real) if int(nm[b]) >= p["m_max"]]
+        if trunc:
+            from ..epochs.tracker import extract_epochs
+            from ..utils.metrics import logger
+            logger.warning("epoch-walk capacity hit for %d "
+                           "utterance(s); host-walk fallback", len(trunc))
+            sigs_g = p["signals"]
+            eps = [extract_epochs(sigs_g[b], fs) for b in trunc]
+            fixed = analysis_compressed_batch(
+                [sigs_g[b] for b in trunc], fs, mag_dim=mag_dim,
+                phase_dim=phase_dim, fft_len=fft_len,
+                alpha_phase=alpha_phase, b_const_rate=b_const_rate,
+                epochs=eps)
+            for j, b in enumerate(trunc):
+                out[b] = fixed[j]
+        return out
 
-                # capacity-exhausted walks (pathological mark density):
-                # redo those with the exact host walk + given-epochs path
-                trunc = [b for b in range(n_real) if int(nm[b]) >= m_max]
-                if trunc:
-                    from ..epochs.tracker import extract_epochs
-                    from ..utils.metrics import logger
-                    logger.warning("epoch-walk capacity hit for %d "
-                                   "utterance(s); host-walk fallback",
-                                   len(trunc))
-                    eps = [extract_epochs(signals[b], fs) for b in trunc]
-                    fixed = analysis_compressed_batch(
-                        [signals[b] for b in trunc], fs, mag_dim=mag_dim,
-                        phase_dim=phase_dim, fft_len=fft_len,
-                        alpha_phase=alpha_phase, b_const_rate=b_const_rate,
-                        epochs=eps)
-                    for j, b in enumerate(trunc):
-                        out[b] = fixed[j]
-                return out
-
-            return download
-
-        return start_phase2
-
-    # HBM budget: long utterances are dispatched in smaller sub-batches,
-    # at most two phase-1 programs in flight so resident input buffers
-    # stay bounded while the next group's upload overlaps device time
-    from collections import deque
-    pending = deque(_split_for_budget(signals, fs, fft_len, mesh))
-    inflight = deque()
-
-    def pump():
-        while pending and len(inflight) < 2:
-            inflight.append(dispatch_group(pending.popleft()))
-
-    pump()
+    from ..utils.pipeline import run_staged
+    groups = _split_for_budget(signals, fs, fft_len, mesh)
+    pipe = run_staged(map(prep, groups), [upload, compute, download])
 
     def finalize():
         out = []
-        prev_download = None
-        while inflight:
-            sp2 = inflight.popleft()
-            pump()
-            dl = sp2()                 # dispatch this group's phase 2
-            if prev_download is not None:
-                out.extend(prev_download())   # overlaps with phase 2 above
-            prev_download = dl
-        if prev_download is not None:
-            out.extend(prev_download())
+        for chunk in pipe:
+            out.extend(chunk)
         return out
 
     return finalize

@@ -78,8 +78,11 @@ def _fused_batch_impl(feats, voi, pm, shifts, nfrms, ns_len, keys,
         per_phase_type=per_phase_type, out_len_max=out_len_max,
         ns_len_max=ns_len_max)
     if b_out_hpf:
+        # 'blocked' = signal-length-independent FFT sections, so each
+        # utterance's audio is bitwise invariant to the batch's padded
+        # length (multi-host merge == single-host, byte for byte)
         sos = butter_highpass_sos(4, 40.0, fs)
-        bufs = jax.vmap(lambda x: sosfilt(sos, x))(bufs)
+        bufs = jax.vmap(lambda x: sosfilt(sos, x, mode="blocked"))(bufs)
     return bufs
 
 
@@ -149,7 +152,8 @@ def synthesis_from_compressed_batch(utts, fs: int,
                                     block_result: bool = True,
                                     pcm16: bool = False,
                                     transport: str = "f16",
-                                    _keys=None):
+                                    keys=None,
+                                    det_fft_syn: bool = False):
     """Batch synthesis from compressed features.
 
     utts: list of (m_mag_mel_log, m_real_mel, m_imag_mel, v_lf0) numpy
@@ -165,6 +169,18 @@ def synthesis_from_compressed_batch(utts, fs: int,
     "f16" (default) or "int8" (per-utterance-per-coefficient affine,
     see quantise_feats; halves the upload again, for transfer-bound
     serving links).  Compute is float32 on device either way.
+
+    ``keys``: explicit (len(utts), 2) uint32 per-utterance noise keys,
+    overriding the derivation from ``key``.  Corpus drivers pass keys
+    derived from the GLOBAL utterance index of the full scp so each
+    utterance's audio is invariant to chunking and multi-host
+    partitioning (cli.py:cmd_generate).
+
+    ``det_fft_syn``: floor the adaptive synthesis-FFT choice at the
+    50 Hz worst case so the chosen FFT does not depend on which
+    utterances share a batch — combined with global-index keys and the
+    'blocked' high-pass this makes every output sample independent of
+    batch composition (byte-identical multi-host merges).
     """
     alpha = define_alpha(fs)
     if fft_len is None:
@@ -173,13 +189,13 @@ def synthesis_from_compressed_batch(utts, fs: int,
         alpha_phase = alpha
     if key is None:
         key = jax.random.PRNGKey(0)
-    if _keys is None:
+    if keys is None:
         # per-utterance noise keys, derived ONCE from the root key by
         # global utterance index.  jax.random.split is prefix-stable
         # (split(k, m)[i] == split(k, n)[i] for i < min(m, n), asserted in
         # tests), so utterance i's audio is identical whether the call
         # buckets, shards, or budget-splits the batch in any way.
-        _keys = np.asarray(jax.random.split(key, len(utts)), np.uint32)
+        keys = np.asarray(jax.random.split(key, len(utts)), np.uint32)
 
     mag_dim = np.atleast_2d(utts[0][0]).shape[1]
     phase_dim = np.atleast_2d(utts[0][1]).shape[1]
@@ -188,12 +204,19 @@ def synthesis_from_compressed_batch(utts, fs: int,
 
     # adaptive synthesis FFT from the realised shifts of the whole call
     # (see vocoder.compressed.synthesis_fft_len) — also relaxes the HBM
-    # budget, so smaller synthesis FFTs admit larger sub-batches
-    fft_syn = synthesis_fft_len(fft_len, max(
+    # budget, so smaller synthesis FFTs admit larger sub-batches.
+    # det_fft_syn additionally floors the frame support at the 50 Hz
+    # worst case, so the chosen FFT (and therefore every sample of audio)
+    # does not depend on which utterances share the batch — the corpus
+    # CLI uses this for byte-identical multi-host merges.
+    framelen_call = max(
         max_pitch_sync_framelen(
             (fs / np.where(f0 == 0.0, 200.0, f0)).astype(np.int64))
         for f0 in (np.exp(np.atleast_1d(np.squeeze(np.asarray(
-            u[3], np.float64)))) for u in utts)))
+            u[3], np.float64)))) for u in utts))
+    if det_fft_syn:
+        framelen_call = max(framelen_call, 2 * int(fs / 50.0) + 1)
+    fft_syn = synthesis_fft_len(fft_len, framelen_call)
 
     # HBM budget: the kernel materialises (B, F, fft_syn) spectra — split
     # oversized batches (long utterances) into sequential sub-batches
@@ -210,7 +233,8 @@ def synthesis_from_compressed_batch(utts, fs: int,
                 alpha_phase=alpha_phase, b_out_hpf=b_out_hpf,
                 pf_type=pf_type, key=key, mesh=mesh,
                 block_result=block_result, pcm16=pcm16,
-                transport=transport, _keys=_keys[i:i + max_b])
+                transport=transport, keys=keys[i:i + max_b],
+                det_fft_syn=det_fft_syn)
             if block_result:
                 out.extend(r)
             else:
@@ -219,10 +243,37 @@ def synthesis_from_compressed_batch(utts, fs: int,
                 lens_all.extend(lens_g)
         return out if block_result else (rows, lens_all)
 
+    host = _prepare_synthesis_group(
+        utts, n_real=len(utts), keys=np.asarray(keys, np.uint32),
+        mesh=mesh, max_b=max_b, fs=fs,
+        fft_syn=fft_syn, alpha=alpha, alpha_phase=alpha_phase,
+        mag_dim=mag_dim, phase_dim=phase_dim, mag_dim_ph=mag_dim_ph,
+        b_voi_ap_win=b_voi_ap_win, per_phase_type=per_phase_type,
+        b_out_hpf=b_out_hpf, pf_type=pf_type, transport=transport)
+    dev = _upload_synthesis_group(host, mesh)
+    bufs = _execute_synthesis_group(dev, mesh, pcm16=pcm16)
+    out_lens = host["out_lens"]
+    n_real = host["n_real"]
+    if pcm16:
+        assert not block_result, "pcm16 is a device transfer encoding"
+    if not block_result:
+        return bufs, out_lens[:n_real]
+    bufs = jax.device_get(bufs)
+    return [np.asarray(bufs[i][:out_lens[i]], np.float64)
+            for i in range(n_real)]
+
+
+def _prepare_synthesis_group(utts, *, n_real, keys, mesh, max_b, fs,
+                             fft_syn, alpha, alpha_phase, mag_dim,
+                             phase_dim, mag_dim_ph, b_voi_ap_win,
+                             per_phase_type, b_out_hpf, pf_type,
+                             transport):
+    """Host half of one synthesis group: batch-axis bucketing, feature
+    packing, vectorised framing geometry, transport encoding.  Pure
+    numpy — safe on a feeder thread; no device traffic."""
     # bucket the batch axis so arbitrary corpus-tail batch sizes reuse the
     # same compiled program (dummy 2-frame unvoiced utterances, dropped on
     # return)
-    n_real = len(utts)
     B = bucket(n_real, capped_batch_step(mesh, max_b))
     if B > n_real:
         dummy = (np.full((2, mag_dim), -3.0, np.float32),
@@ -264,17 +315,14 @@ def synthesis_from_compressed_batch(utts, fs: int,
 
     if transport == "int8":
         feats_t, q_scale, q_zp = quantise_feats(feats, nfrms)
-        extra = (jnp.asarray(q_scale), jnp.asarray(q_zp))
+        extra = (q_scale, q_zp)
     elif transport == "f16":
         feats_t, extra = feats, (None, None)
     else:
         raise ValueError(f"unknown transport {transport!r}")
-    args = (jnp.asarray(feats_t),
-            jnp.asarray(voi_b.astype(np.float32)),
-            jnp.asarray(pm_b.astype(np.int32)),
-            jnp.asarray(shifts_b.astype(np.int32)),
-            jnp.asarray(nfrms.astype(np.int32)),
-            jnp.asarray(ns_lens.astype(np.int32)))
+    args = (feats_t, voi_b.astype(np.float32), pm_b.astype(np.int32),
+            shifts_b.astype(np.int32), nfrms.astype(np.int32),
+            ns_lens.astype(np.int32))
     static_kw = dict(fs=fs, fft_len=fft_syn, alpha=alpha,
                      alpha_phase=alpha_phase, mag_dim=mag_dim,
                      phase_dim=phase_dim, mag_dim_ph=mag_dim_ph,
@@ -282,27 +330,128 @@ def synthesis_from_compressed_batch(utts, fs: int,
                      per_phase_type=per_phase_type, out_len_max=O,
                      ns_len_max=NS, b_out_hpf=b_out_hpf, pf_type=pf_type)
     keys_b = np.zeros((B, 2), np.uint32)
-    keys_b[:n_real] = _keys[:n_real]        # dummy rows: outputs dropped
-    keys_d = jnp.asarray(keys_b)
+    keys_b[:n_real] = keys[:n_real]         # dummy rows: outputs dropped
+    return dict(args=args, extra=extra, keys=keys_b, static_kw=static_kw,
+                out_lens=out_lens, n_real=n_real)
+
+
+def synthesis_batches_pipelined(batches, fs: int,
+                                fft_len: int | None = None,
+                                b_voi_ap_win: bool = True,
+                                per_phase_type: str = "magphase",
+                                alpha_phase: float | None = None,
+                                b_out_hpf: bool = True,
+                                pf_type: str = "no",
+                                mesh=None, pcm16: bool = False,
+                                transport: str = "f16",
+                                consume=None):
+    """Threaded four-stage corpus synthesis: prepare -> upload -> execute
+    -> download, one thread per stage (utils/pipeline.py:run_staged).
+
+    ``batches``: iterable of (utts, keys) with utts as in
+    synthesis_from_compressed_batch and keys a (len(utts), 2) uint32
+    per-utterance key array.  Yields one result per device GROUP (a batch
+    may split into several groups under the HBM budget), in order:
+    ``consume(bufs, host_meta)`` if given (runs on the download thread —
+    device_get + wav-write there overlaps the next group's compute), else
+    the float64 waveform list.
+
+    Why threads: in the per-dispatch-sync link mode every transfer and
+    dispatch blocks, so a serial loop pays upload + compute + download as
+    a SUM; the tunnel's up and down streams overlap fully across threads
+    (tools/link_experiments.py 'duplex'), making steady-state cost the
+    slowest leg.  This is the schedule behind both the bench E2E number
+    and `cli generate` (VERDICT r3 items 1b/2)."""
+    alpha = define_alpha(fs)
+    if fft_len is None:
+        fft_len = define_fft_len(fs)
+    if alpha_phase is None:
+        alpha_phase = alpha
+
+    def gen_groups():
+        for utts, keys in batches:
+            keys = np.asarray(keys, np.uint32).reshape(len(utts), 2)
+            mag_dim = np.atleast_2d(utts[0][0]).shape[1]
+            phase_dim = np.atleast_2d(utts[0][1]).shape[1]
+            mag_dim_ph = get_num_full_mel_coeffs_from_num_phase_coeffs(
+                define_crossfade_params(fs)[0], phase_dim, alpha_phase, fs)
+            fft_syn = synthesis_fft_len(fft_len, max(
+                max_pitch_sync_framelen(
+                    (fs / np.where(f0 == 0.0, 200.0, f0)).astype(np.int64))
+                for f0 in (np.exp(np.atleast_1d(np.squeeze(np.asarray(
+                    u[3], np.float64)))) for u in utts)))
+            F_est = bucket(max(np.atleast_1d(np.squeeze(u[3])).shape[0]
+                               for u in utts), FRM_STEP)
+            budget = MAX_FRAME_ELEMS * (mesh.size if mesh is not None
+                                        else 1)
+            max_b = budget_batch_cap(
+                mesh, max(1, int(budget // (F_est * fft_syn))))
+            for i in range(0, len(utts), max_b):
+                yield _prepare_synthesis_group(
+                    utts[i:i + max_b], n_real=len(utts[i:i + max_b]),
+                    keys=keys[i:i + max_b], mesh=mesh, max_b=max_b,
+                    fs=fs, fft_syn=fft_syn, alpha=alpha,
+                    alpha_phase=alpha_phase, mag_dim=mag_dim,
+                    phase_dim=phase_dim, mag_dim_ph=mag_dim_ph,
+                    b_voi_ap_win=b_voi_ap_win,
+                    per_phase_type=per_phase_type, b_out_hpf=b_out_hpf,
+                    pf_type=pf_type, transport=transport)
+
+    def upload(host):
+        return _upload_synthesis_group(host, mesh)
+
+    def execute(dev):
+        bufs = _execute_synthesis_group(dev, mesh, pcm16=pcm16)
+        return bufs, dev["host"]
+
+    def download(x):
+        bufs, host = x
+        if consume is not None:
+            return consume(bufs, host)
+        arr = jax.device_get(bufs)
+        return [np.asarray(arr[i][:host["out_lens"][i]], np.float64)
+                for i in range(host["n_real"])]
+
+    from ..utils.pipeline import run_staged
+    yield from run_staged(gen_groups(), [upload, execute, download])
+
+
+def _upload_synthesis_group(host: dict, mesh):
+    """Device half 1: push the group's operands (the upstream link leg).
+
+    Blocks until the feature tensor lands so the upload is paid on the
+    pipeline's upload thread, not inside the compute dispatch
+    (device_put is fire-and-forget even in per-dispatch-sync mode)."""
+    args = tuple(jnp.asarray(a) for a in host["args"])
+    keys_d = jnp.asarray(host["keys"])
+    extra = tuple(None if e is None else jnp.asarray(e)
+                  for e in host["extra"])
     if mesh is not None:
-        # shard_map over the data mesh with every operand (incl. the
-        # per-utterance keys) sharded on the batch axis —
-        # communication-free by construction (see mesh.sharded_kernel)
         sm_args = args + (keys_d,)
         if extra[0] is not None:
             sm_args = sm_args + extra
         sm_args = shard_batch(mesh, *sm_args)
-        bufs = sharded_kernel(_fused_batch_impl, mesh, len(sm_args),
-                              static_kw)(*sm_args)
-    else:
-        bufs = _fused_batch_kernel(*args, keys_d, *extra, **static_kw)
+        jax.block_until_ready(sm_args[0])
+        return dict(sm_args=sm_args, host=host)
+    jax.block_until_ready(args[0])
+    return dict(args=args, keys=keys_d, extra=extra, host=host)
 
+
+def _execute_synthesis_group(dev: dict, mesh, *, pcm16: bool):
+    """Device half 2: dispatch the fused kernel (+ device PCM16 encode)."""
+    host = dev["host"]
+    static_kw = host["static_kw"]
+    if mesh is not None:
+        # shard_map over the data mesh with every operand (incl. the
+        # per-utterance keys) sharded on the batch axis —
+        # communication-free by construction (see mesh.sharded_kernel)
+        bufs = sharded_kernel(_fused_batch_impl, mesh,
+                              len(dev["sm_args"]), static_kw)(
+                                  *dev["sm_args"])
+    else:
+        bufs = _fused_batch_kernel(*dev["args"], dev["keys"],
+                                   *dev["extra"], **static_kw)
     if pcm16:
-        assert not block_result, "pcm16 is a device transfer encoding"
-        bufs = _pcm16_kernel(bufs, jnp.asarray(np.asarray(out_lens,
-                                                          np.int32)))
-    if not block_result:
-        return bufs, out_lens[:n_real]
-    bufs = jax.device_get(bufs)
-    return [np.asarray(bufs[i][:out_lens[i]], np.float64)
-            for i in range(n_real)]
+        bufs = _pcm16_kernel(bufs, jnp.asarray(np.asarray(
+            host["out_lens"], np.int32)))
+    return bufs

@@ -68,17 +68,27 @@ def align_by_xcorr(v_sig_a, v_sig_b, fs: int,
 def mel_spectral_distortion_piecewise(v_sig_a, v_sig_b, fs: int,
                                       chunk_s: float = 0.5,
                                       max_lag_ms: float = 30.0,
+                                      trim: float = 0.2,
                                       **kw) -> float:
-    """Drift-robust MSD: align globally, then re-align and score each
-    ``chunk_s`` window independently; return the mean.
+    """Drift-robust MSD: align globally, then re-align each ``chunk_s``
+    window by ENERGY-NORMALISED cross-correlation and return the trimmed
+    mean over chunks (worst ``trim`` fraction dropped).
 
-    The compressed pipeline's lf0 medfilt (magphase.py:2500) legitimately
-    perturbs the synthesis shift track, so pitch marks DRIFT tens of
-    samples against the original mid-utterance.  A single global
-    alignment then scores the same audio several dB apart depending on
-    where the drift accumulates (measured 13 -> 19 dB swings at 16 kHz
-    between outputs that differ by <4e-4 in amplitude) — piecewise
-    alignment removes exactly that artifact and nothing else."""
+    Why each piece (stability A/B over 3 noise keys on the 48 kHz
+    corpus, tools notes in docs/ROUND4.md):
+    * piecewise alignment — the compressed pipeline's lf0 medfilt
+      (magphase.py:2500) legitimately perturbs the synthesis shift
+      track, so pitch marks DRIFT tens of samples mid-utterance; one
+      global alignment scores the same audio several dB apart depending
+      on where the drift lands (13 -> 19 dB swings at 16 kHz between
+      outputs differing by <4e-4 in amplitude);
+    * normalised correlation — the raw dot product locks onto the
+      loudest content inside the window, occasionally misaligning a
+      quiet chunk entirely (one key flipped an utterance 8.97 -> 12.58);
+    * trimmed mean — bounds the influence of any residual pathological
+      chunk.  Together: max per-utterance spread across keys 0.62 dB,
+      vs 3.8 (plain piecewise) and 4.7 (global) — stable enough to gate
+      with ~0.5 dB margins."""
     a, b = align_by_xcorr(v_sig_a, v_sig_b, fs)
     n = min(len(a), len(b))
     cs = int(chunk_s * fs)
@@ -88,14 +98,18 @@ def mel_spectral_distortion_piecewise(v_sig_a, v_sig_b, fs: int,
         ref = a[st:st + cs]
         lo, hi = max(0, st - pad), min(n, st + cs + pad)
         cand = b[lo:hi]
-        # local lag: slide ref over the padded candidate window
+        # local lag: slide ref over the padded candidate window,
+        # normalising by the candidate window's local energy
         c = np.correlate(cand, ref, "valid")
-        off = int(np.argmax(c))
+        e = np.sqrt(np.convolve(cand * cand, np.ones(cs), "valid"))
+        off = int(np.argmax(c / (e + 1e-12)))
         vals.append(mel_spectral_distortion(ref, cand[off:off + cs], fs,
                                             align=False, **kw))
     if not vals:
         return mel_spectral_distortion(a, b, fs, align=False, **kw)
-    return float(np.mean(vals))
+    vals = np.sort(np.asarray(vals))
+    keep = max(1, int(np.ceil(len(vals) * (1.0 - trim))))
+    return float(np.mean(vals[:keep]))
 
 
 def mel_spectral_distortion(v_sig_a, v_sig_b, fs: int, n_mel: int = 60,

@@ -88,6 +88,41 @@ def make_stimulus(fs: int, segments, seed: int = 0, noise_db: float = -40.0):
     return sig, np.asarray(gcis), intervals, f0_at
 
 
+def degrade_stimulus(sig, fs: int, snr_db: float | None = None,
+                     rt60_s: float | None = None, seed: int = 0):
+    """Controlled degradations for tracker robustness gates (REAPER's
+    operating envelope is wider than clean read speech — round-3 VERDICT
+    item 5).
+
+    ``snr_db``: add white Gaussian noise at the given SNR versus the
+    signal's own power.  ``rt60_s``: convolve with a synthetic
+    exponentially-decaying noise room response (RT60 seconds, direct path
+    preserved at unit gain) — the standard mild-reverb model.  Output is
+    renormalised to the input's peak so absolute-threshold stages see the
+    same scale."""
+    rng = np.random.RandomState(seed)
+    out = np.asarray(sig, np.float64).copy()
+    if rt60_s is not None:
+        n_ir = int(rt60_s * fs)
+        t = np.arange(n_ir) / fs
+        # -60 dB at t = rt60  =>  envelope exp(-6.9 t / rt60)
+        ir = rng.randn(n_ir) * np.exp(-6.907755 * t / rt60_s)
+        ir[0] = 0.0
+        # early/late energy scaled to a modest direct-to-reverb ratio
+        ir *= 0.35 / max(np.sqrt(np.sum(ir ** 2)), 1e-12)
+        ir[0] = 1.0
+        out = np.convolve(out, ir)[:len(out)]
+    if snr_db is not None:
+        p_sig = float(np.mean(out ** 2))
+        p_n = p_sig / (10.0 ** (snr_db / 10.0))
+        out = out + rng.randn(len(out)) * np.sqrt(p_n)
+    peak = float(np.max(np.abs(out)))
+    ref_peak = float(np.max(np.abs(sig)))
+    if peak > 0:
+        out *= ref_peak / peak
+    return out
+
+
 def _in_intervals(t, intervals, guard: float = 0.02):
     """Mask of times strictly inside intervals, ``guard`` s away from the
     boundaries (transition zones are scored by neither metric, standard

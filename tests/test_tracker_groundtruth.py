@@ -15,21 +15,45 @@ import numpy as np
 import pytest
 
 from magphase_tpu.epochs import extract_epochs
-from magphase_tpu.utils.tracker_eval import make_stimulus, tracker_metrics
+from magphase_tpu.utils.tracker_eval import (degrade_stimulus,
+                                             make_stimulus, tracker_metrics)
 
 PRED_DIR = "/root/reference/demos/data_48k/params_predicted"
 FS = 48000
 
-# measured on these exact stimuli (CPU, 2026-08): gpe <= 0.0122,
-# voi_miss = 0, voi_fa <= 0.0149, gci_hit >= 0.8902, jitter <= 0.6 ms
+# measured on these exact stimuli (CPU, 2026-08, incl. the male-range
+# sweep): gpe <= 0.0122, voi_miss = 0, voi_fa <= 0.0149,
+# gci_hit >= 0.8902, jitter <= 0.6 ms — clean gates sit just above
+# (r3 VERDICT item 5: tightened from gpe 3% / hit 85%)
 SYNTH_CASES = {
     "steady120": [(0.3, 120, 120)],
     "rise90_180": [(0.4, 90, 180)],
     "fall300_150": [(0.4, 300, 150)],
     "high350": [(0.3, 350, 350)],
     "low60": [(0.4, 60, 60)],
+    "low_male_55_85": [(0.5, 55, 85)],
     "mixed": [(0.2, None, None), (0.3, 140, 200), (0.15, None, None),
               (0.3, 220, 110), (0.1, None, None)],
+}
+
+# robustness envelope beyond clean read speech (r3 VERDICT item 5).
+# Measured worst-per-degradation across all SYNTH_CASES (CPU, seed 7,
+# full table in docs/ROUND4.md):
+#   snr20        — identical to clean (gpe 1.22%, hit 89.0%)
+#   snr10        — identical to clean
+#   reverb 0.2 s — gpe 8.5% (rise90_180), fa 3.1%, hit 89.8%
+#   snr20+rvb.15 — gpe 8.5%, fa 3.1%, hit 89.8%
+DEGRADATIONS = {
+    "snr20": (dict(snr_db=20),
+              dict(gpe=0.02, voi_miss=0.02, voi_fa=0.03, gci_hit=0.87)),
+    "snr10": (dict(snr_db=10),
+              dict(gpe=0.02, voi_miss=0.02, voi_fa=0.03, gci_hit=0.87)),
+    "reverb200ms": (dict(rt60_s=0.2),
+                    dict(gpe=0.10, voi_miss=0.02, voi_fa=0.05,
+                         gci_hit=0.87)),
+    "snr20_reverb": (dict(snr_db=20, rt60_s=0.15),
+                     dict(gpe=0.10, voi_miss=0.02, voi_fa=0.05,
+                          gci_hit=0.87)),
 }
 
 
@@ -38,11 +62,28 @@ def test_tracker_on_known_epoch_stimuli(name):
     sig, gci, ivals, f0_at = make_stimulus(FS, SYNTH_CASES[name], seed=1)
     pm, voi = extract_epochs(sig, FS)
     m = tracker_metrics(pm, voi, gci, ivals, f0_at, len(sig) / FS)
-    assert m["gpe"] < 0.03, m
+    assert m["gpe"] < 0.02, m
     assert m["voi_miss"] < 0.02, m
     assert m["voi_fa"] < 0.03, m
-    assert m["gci_hit"] > 0.85, m
-    assert m["gci_jitter"] < 1.5e-3, m
+    assert m["gci_hit"] > 0.87, m
+    assert m["gci_jitter"] < 1.0e-3, m
+
+
+@pytest.mark.parametrize("deg", sorted(DEGRADATIONS))
+@pytest.mark.parametrize("name", sorted(SYNTH_CASES))
+def test_tracker_robustness_under_degradation(name, deg):
+    """Additive noise (SNR 20/10 dB), mild reverb (RT60 0.2 s) and their
+    combination: the tracker must stay inside REAPER's practical
+    operating envelope, not just clean read speech."""
+    dkw, gates = DEGRADATIONS[deg]
+    sig, gci, ivals, f0_at = make_stimulus(FS, SYNTH_CASES[name], seed=1)
+    sig = degrade_stimulus(sig, FS, seed=7, **dkw)
+    pm, voi = extract_epochs(sig, FS)
+    m = tracker_metrics(pm, voi, gci, ivals, f0_at, len(sig) / FS)
+    assert m["gpe"] < gates["gpe"], (deg, m)
+    assert m["voi_miss"] < gates["voi_miss"], (deg, m)
+    assert m["voi_fa"] < gates["voi_fa"], (deg, m)
+    assert m["gci_hit"] > gates["gci_hit"], (deg, m)
 
 
 @pytest.mark.skipif(not os.path.isdir(PRED_DIR), reason="no demo data")

@@ -48,7 +48,9 @@ def measure(batch: int = 64) -> dict:
 
     # --- the pipeline's actual download tensors (realistic frame bucket:
     # ~0.4 marks/sample-rate-second of audio; use the tracker's typical
-    # yield of ~170 marks/s at 48 kHz speech)
+    # yield of ~170 marks/s at 48 kHz speech).  The pipelined path packs
+    # the mel streams + aux into two tensors (analysis_batch.py
+    # _analyze_compress_impl pack=True).
     F = bucket(int(np.ceil(max(len(s) for s in batch_sigs) / FS * 200)),
                FRM_STEP)
     feats16 = np.zeros((batch, F, 150), np.float16)
@@ -73,14 +75,20 @@ def measure(batch: int = 64) -> dict:
         return best
 
     def time_download(shape_arr, reps=4):
-        # the buffer must be DEVICE-COMPUTED: device_get of a device_put
-        # array can return the retained host copy without any transfer
-        buf = jax.jit(lambda x: x + 1)(jax.device_put(shape_arr, dev))
-        buf.block_until_ready()
+        # the buffers must be DEVICE-COMPUTED *and distinct per rep*:
+        # device_get of a device_put array can return the retained host
+        # copy, and a repeat get of the SAME buffer is served from a host
+        # cache at no transfer cost (round-3 roofline recorded a bogus
+        # 562 GB/s downstream this way)
+        mk = jax.jit(lambda x, s: x + s)
+        base = jax.device_put(shape_arr, dev)
+        bufs = [mk(base, jnp.asarray(i + 1, shape_arr.dtype))
+                for i in range(reps)]
+        jax.block_until_ready(bufs)
         best = float("inf")
-        for _ in range(reps):
+        for b in bufs:
             t0 = time.perf_counter()
-            _ = np.asarray(jax.device_get(buf))
+            _ = np.asarray(jax.device_get(b))
             best = min(best, time.perf_counter() - t0)
         return best
 
