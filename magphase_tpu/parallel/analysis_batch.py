@@ -220,13 +220,19 @@ def _trim_frames(arrs, *, n: int):
 
 def _fused_track_lossless_impl(sigs, n_sigs, n_frames, *, fs: int,
                                  n_frames_max: int, m_max: int,
-                                 fft_len: int):
+                                 fft_len: int, compact: bool = False):
     """Tracking + epoch placement + lossless analysis in ONE device program.
 
     Replaces the reference's REAPER-subprocess-then-analyse sequence
     (magphase.py:2869-2906) without the low-passed-signal download the
     host epoch walk needs (6.5 MB/10-utt-batch over the host link); only
     the feature tensors and the tiny mark arrays leave the device.
+
+    ``compact``: encode the phasor as an int16 angle (2 B/bin; host
+    reconstructs real=cos, imag=sin) so the dominant full-resolution
+    feature download halves — mag stays float32 because f16 mag alone
+    breaks the sub-PCM16 copy-synthesis budget (measured p99 8.8e-5 vs
+    the 2^-15 = 3.05e-5 gate; f32 mag + int16 angle lands at 1.1e-5).
     """
     from ..vocoder.lossless import analysis_core_batch
 
@@ -236,12 +242,17 @@ def _fused_track_lossless_impl(sigs, n_sigs, n_frames, *, fs: int,
         m_max=m_max)
     mag, real, imag, _f0, shift = analysis_core_batch(
         sigs, marks, n_marks, n_sigs, flags, fft_len=fft_len, fs=fs)
+    if compact:
+        ang = jnp.arctan2(imag, real)
+        ang_i16 = jnp.clip(jnp.rint(ang * jnp.float32(32768.0 / np.pi)),
+                           -32768, 32767).astype(jnp.int16)
+        return mag, ang_i16, shift, flags, n_marks
     return mag, real, imag, shift, flags, n_marks
 
 
 _fused_track_lossless_kernel = functools.partial(
-    jax.jit, static_argnames=("fs", "n_frames_max", "m_max", "fft_len"))(
-        _fused_track_lossless_impl)
+    jax.jit, static_argnames=("fs", "n_frames_max", "m_max", "fft_len",
+                              "compact"))(_fused_track_lossless_impl)
 
 
 def _compressed_rfft_mode() -> str:
@@ -377,52 +388,96 @@ _analysis_batch_jit = functools.partial(
 def analysis_lossless_batch(signals: list, fs: int,
                             fft_len: int | None = None,
                             epochs: list | None = None,
-                            mesh=None):
+                            mesh=None, transport: str = "f32"):
     """Batched lossless analysis.  Returns list of
     (m_mag, m_real, m_imag, v_f0, v_shift) float32/int numpy tuples.
 
     ``epochs``: optional list of (pm_sec, voi) overriding the tracker.
     ``mesh``: optional 1-D data mesh; the batch axis is sharded over it.
+    ``transport`` (tracker path): 'f32' (exact) or 'compact' — phasor as
+    int16 angle over the host link, halving the dominant full-resolution
+    feature download; reconstruction stays inside the sub-PCM16
+    copy-synthesis budget (gated in tests/test_analysis_batch.py).
     """
     if fft_len is None:
         fft_len = define_fft_len(fs)
 
     if epochs is None:
         # fused device path: tracking + placement + analysis in one
-        # program, split into sub-batches under the HBM budget
-        all_out = []
-        for group in _split_for_budget(signals, fs, fft_len, mesh):
-            signals_g, dev, S, Tmax, m_max, n_real = _device_signal_batch(
-                group, fs, mesh, fft_len=fft_len)
-            mag, real, imag, shift, flags, n_marks = _run_kernel(
-                _fused_track_lossless_kernel, _fused_track_lossless_impl,
-                mesh, dev, dict(fs=fs, n_frames_max=Tmax, m_max=m_max,
-                                fft_len=fft_len))
-            n_marks = np.asarray(jax.device_get(n_marks))
-            Fa = min(m_max, bucket(int(n_marks.max()), FRM_STEP))
-            mag, real, imag, shift, flags = jax.device_get(_trim_frames(
-                (mag, real, imag, shift, flags), n=Fa))
-            out = []
-            for b in range(n_real):
-                n = int(n_marks[b])
-                sh = shift[b, :n].astype(np.int64)
-                f0 = (flags[b, :n].astype(np.float64) * fs /
-                      np.maximum(sh, 1).astype(np.float64))
-                out.append((mag[b, :n], real[b, :n], imag[b, :n], f0, sh))
+        # program, split into sub-batches under the HBM budget; the
+        # upload / compute / download legs run on separate threads
+        # (utils/pipeline.py) so the link works both directions while
+        # the device computes
+        compact = transport == "compact"
 
-            trunc = [b for b in range(n_real) if int(n_marks[b]) >= m_max]
+        def prep(group):
+            signals_g, host, S, Tmax, m_max, n_real = _host_signal_batch(
+                group, fs, mesh, fft_len=fft_len)
+            return dict(signals=signals_g, host=host, Tmax=Tmax,
+                        m_max=m_max, n_real=n_real)
+
+        def upload(p):
+            p["dev"] = _upload_signal_batch(p["host"], mesh)
+            del p["host"]
+            return p
+
+        def compute(p):
+            out = _run_kernel(
+                _fused_track_lossless_kernel, _fused_track_lossless_impl,
+                mesh, p["dev"], dict(fs=fs, n_frames_max=p["Tmax"],
+                                     m_max=p["m_max"], fft_len=fft_len,
+                                     compact=compact))
+            n_marks = np.asarray(jax.device_get(out[-1]))
+            Fa = min(p["m_max"], bucket(int(n_marks.max()), FRM_STEP))
+            p["out"] = _trim_frames(tuple(out[:-1]), n=Fa)
+            p["nm"] = n_marks
+            del p["dev"]
+            return p
+
+        def download(p):
+            nm, n_real = p["nm"], p["n_real"]
+            out = []
+            if compact:
+                mag, ang, shift, flags = jax.device_get(p["out"])
+                for b in range(n_real):
+                    n = int(nm[b])
+                    a = ang[b, :n].astype(np.float64) * (np.pi / 32768.0)
+                    sh = shift[b, :n].astype(np.int64)
+                    f0 = (flags[b, :n].astype(np.float64) * fs /
+                          np.maximum(sh, 1).astype(np.float64))
+                    out.append((mag[b, :n], np.cos(a).astype(np.float32),
+                                np.sin(a).astype(np.float32), f0, sh))
+            else:
+                mag, real, imag, shift, flags = jax.device_get(p["out"])
+                for b in range(n_real):
+                    n = int(nm[b])
+                    sh = shift[b, :n].astype(np.int64)
+                    f0 = (flags[b, :n].astype(np.float64) * fs /
+                          np.maximum(sh, 1).astype(np.float64))
+                    out.append((mag[b, :n], real[b, :n], imag[b, :n],
+                                f0, sh))
+
+            trunc = [b for b in range(n_real) if int(nm[b]) >= p["m_max"]]
             if trunc:
                 from ..epochs.tracker import extract_epochs
                 from ..utils.metrics import logger
                 logger.warning("epoch-walk capacity hit for %d utterance(s);"
                                " host-walk fallback", len(trunc))
-                eps = [extract_epochs(signals_g[b], fs) for b in trunc]
+                sigs_g = p["signals"]
+                eps = [extract_epochs(sigs_g[b], fs) for b in trunc]
                 fixed = analysis_lossless_batch(
-                    [signals_g[b] for b in trunc], fs, fft_len=fft_len,
+                    [sigs_g[b] for b in trunc], fs, fft_len=fft_len,
                     epochs=eps)
                 for j, b in enumerate(trunc):
                     out[b] = fixed[j]
-            all_out.extend(out)
+            return out
+
+        from ..utils.pipeline import run_staged
+        groups = _split_for_budget(signals, fs, fft_len, mesh)
+        all_out = []
+        for chunk in run_staged(map(prep, groups),
+                                [upload, compute, download]):
+            all_out.extend(chunk)
         return all_out
 
     # HBM budget + bucket the batch axis (dummies dropped on return)

@@ -24,13 +24,18 @@ from magphase_tpu.config import (MagPhaseConfig, define_alpha,
 
 DATA = "/root/reference/demos/data_48k/wavs_nat"
 
-# recorded whole-corpus values (CPU, PRNGKey(0), floor_db=40, global
-# alignment): 16k mean 10.00 max 19.27; 22050 mean 7.64 max 11.30;
-# 44100 mean 6.80 max 9.54
+# GATING METRIC: the drift-robust piecewise MSD (r3 VERDICT item 7) —
+# the globally-aligned MSD swung several dB per utterance under
+# lf0-medfilt drift at 16 kHz (hvd_594 measured 19.27 global vs 12.48
+# piecewise), forcing 21 dB gates; the piecewise metric's max
+# per-utterance spread across noise keys is 0.62 dB so margins tighten
+# to ~+0.5/0.7.  Recorded (CPU, PRNGKey(0), floor_db=40, round 4):
+# 16k mean 9.81 max 12.48; 22050 mean 7.83 max 9.46;
+# 44100 mean 7.14 max 9.98
 RATE_GATES = {
-    16000: (1, 3, 11.0, 21.0),
-    22050: (147, 320, 8.6, 12.5),
-    44100: (147, 160, 7.8, 11.0),
+    16000: (1, 3, 10.3, 13.2),
+    22050: (147, 320, 8.4, 10.2),
+    44100: (147, 160, 7.7, 10.7),
 }
 
 
@@ -113,7 +118,7 @@ def test_multirate_corpus_msd(fs):
     from magphase_tpu.io import read_wav
     from magphase_tpu.parallel.analysis_batch import analysis_compressed_batch
     from magphase_tpu.parallel.batch import synthesis_from_compressed_batch
-    from magphase_tpu.utils.eval import mel_spectral_distortion
+    from magphase_tpu.utils.eval import mel_spectral_distortion_piecewise
 
     up, dn, mean_max, utt_max = RATE_GATES[fs]
     wavs = sorted(glob.glob(f"{DATA}/*.wav"))
@@ -125,7 +130,8 @@ def test_multirate_corpus_msd(fs):
     utts = [(m, r, i, l) for (m, r, i, l, _s) in feats]
     outs = synthesis_from_compressed_batch(utts, fs,
                                            key=jax.random.PRNGKey(0))
-    msds = {t: mel_spectral_distortion(s, np.asarray(o), fs, floor_db=40.0)
+    msds = {t: mel_spectral_distortion_piecewise(s, np.asarray(o), fs,
+                                                 floor_db=40.0)
             for t, s, o in zip(toks, sigs, outs)}
     mean = float(np.mean(list(msds.values())))
     assert mean < mean_max, (fs, msds)

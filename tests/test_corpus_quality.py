@@ -23,17 +23,22 @@ from magphase_tpu.io import read_wav
 DATA = "/root/reference/demos/data_48k/wavs_nat"
 FS = 48000
 
-# recorded corpus values (CPU, PRNGKey(0), floor_db=40, round 3, after
-# the guarded shift truncation): per-utt MSD 3.8..8.34 dB, mean 6.24 dB —
+# GATING METRIC: the drift-robust piecewise MSD (r3 VERDICT item 7).
+# The globally-aligned MSD swings several dB under the lf0-medfilt
+# pitch-mark drift AND under the noise key alone (measured per-utterance
+# spread across 3 keys: 4.7 dB global vs 0.62 dB piecewise after the
+# normalised-alignment + trimmed-mean upgrade — utils/eval.py docstring),
+# so its gates needed wide margins.  Recorded piecewise values (CPU,
+# PRNGKey(0), floor_db=40, round 4): per-utt 5.58..8.93 dB, mean 6.998 —
 # identical for the live tracker and the recorded-epochs fixture
-# (tests/data/epochs_48k.npz).
-# Gates sit at recorded + ~0.5 dB and are DECOMPOSED: the fixture gate
+# (tests/data/epochs_48k.npz).  Gates sit at recorded + ~0.4/0.55 dB
+# (max key spread 0.62 included) and are DECOMPOSED: the fixture gate
 # moves only with mel-compression/synthesis changes; the live gate also
 # moves with tracker changes — a tracker regression flips exactly one.
-MSD_MEAN_MAX = 6.8
-MSD_UTT_MAX = 8.9
-MSD_MEAN_MAX_LIVE = 7.0
-MSD_UTT_MAX_LIVE = 9.1
+MSD_MEAN_MAX = 7.4
+MSD_UTT_MAX = 9.5
+MSD_MEAN_MAX_LIVE = 7.5
+MSD_UTT_MAX_LIVE = 9.6
 
 EPOCH_FIXTURE = "tests/data/epochs_48k.npz"
 
@@ -63,14 +68,14 @@ def _corpus_msd(toks, sigs, epochs=None):
     from magphase_tpu.parallel.analysis_batch import \
         analysis_compressed_batch
     from magphase_tpu.parallel.batch import synthesis_from_compressed_batch
-    from magphase_tpu.utils.eval import mel_spectral_distortion
+    from magphase_tpu.utils.eval import mel_spectral_distortion_piecewise
 
     feats = analysis_compressed_batch(sigs, FS, epochs=epochs)
     utts = [(m, r, i, l) for (m, r, i, l, _s) in feats]
     outs = synthesis_from_compressed_batch(utts, FS,
                                            key=jax.random.PRNGKey(0))
-    return {tok: mel_spectral_distortion(sig, np.asarray(syn), FS,
-                                         floor_db=40.0)
+    return {tok: mel_spectral_distortion_piecewise(
+                sig, np.asarray(syn), FS, floor_db=40.0)
             for tok, sig, syn in zip(toks, sigs, outs)}
 
 
