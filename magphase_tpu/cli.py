@@ -209,41 +209,105 @@ def cmd_generate(args) -> int:
         res.metrics.log_summary()
         return 1 if res.failed else 0
 
-    def process_batch(chunk):
-        utts = []
-        for tok in chunk:
+    # fast path: the threaded four-stage pipeline (feature reads + batch
+    # prep on the feeder thread, upload / device execute / PCM16 download
+    # + wav write each on their own thread) — steady-state cost is the
+    # slowest link leg, not the serial sum.  Any failure falls back to
+    # the chunk-isolating runner below for the unfinished tokens, which
+    # keeps the crash-list contract (singleton retries).
+    from .parallel.batch import synthesis_batches_pipelined
+    from .utils.corpus import CorpusResult, Manifest
+    from .io.wav import write_wav_pcm16
+
+    manifest = Manifest(args.out_dir, config, manifest_name)
+    res = CorpusResult()
+    pending = []
+    for tok in tokens:
+        (res.skipped if tok in manifest.done else pending).append(tok)
+
+    def read_batches():
+        for i in range(0, len(pending), args.batch_size):
+            chunk = pending[i:i + args.batch_size]
             d = args.feats_dir
-            utts.append((
-                read_binfile(os.path.join(d, tok + ".mag"), args.mag_dim),
-                read_binfile(os.path.join(d, tok + ".real"), args.phase_dim),
-                read_binfile(os.path.join(d, tok + ".imag"), args.phase_dim),
-                read_binfile(os.path.join(d, tok + ".lf0"), 1)))
-        # async dispatch: the runner keeps two chunks in flight so the
-        # next chunk's feature reads + upload overlap this one's device
-        # time.  pcm16: peak-norm + quantise on device — the (dominant)
-        # waveform download halves and the host writes raw frames
-        from .io.wav import write_wav_pcm16
-        bufs, lens = synthesis_from_compressed_batch(
-            utts, args.fs, pf_type=args.pf_type,
-            keys=np.stack([key_of[t] for t in chunk]),
-            b_out_hpf=not args.no_hpf, block_result=False, mesh=mesh,
-            pcm16=True, det_fft_syn=True)
+            utts = [(read_binfile(os.path.join(d, t + ".mag"),
+                                  args.mag_dim),
+                     read_binfile(os.path.join(d, t + ".real"),
+                                  args.phase_dim),
+                     read_binfile(os.path.join(d, t + ".imag"),
+                                  args.phase_dim),
+                     read_binfile(os.path.join(d, t + ".lf0"), 1))
+                    for t in chunk]
+            yield utts, np.stack([key_of[t] for t in chunk]), chunk
 
-        def finalize():
-            host = jax.device_get(bufs)
-            for tok, buf, n in zip(chunk, host, lens):
-                write_wav_pcm16(os.path.join(args.out_dir, tok + ".wav"),
-                                buf[:n], args.fs)
-            return [n / args.fs for n in lens[:len(chunk)]]
+    def consume(bufs, host):
+        rows = np.asarray(jax.device_get(bufs))
+        chunk, start = host["tag"]
+        toks = chunk[start:start + host["n_real"]]
+        done = []
+        for j, tok in enumerate(toks):
+            n = host["out_lens"][j]
+            write_wav_pcm16(os.path.join(args.out_dir, tok + ".wav"),
+                            rows[j, :n], args.fs)
+            done.append((tok, n / args.fs))
+        return done
 
-        return finalize
+    try:
+        with res.metrics.stage("process"):
+            for done in synthesis_batches_pipelined(
+                    read_batches(), args.fs, pf_type=args.pf_type,
+                    b_out_hpf=not args.no_hpf, mesh=mesh, pcm16=True,
+                    consume=consume, det_fft_syn=True):
+                for tok, secs in done:
+                    res.metrics.add_audio(float(secs))
+                    manifest.mark(tok)
+                    res.done.append(tok)
+                manifest.save()
+    except Exception as e:
+        from .utils.metrics import logger
+        logger.warning("pipelined generation failed (%s); falling back to "
+                       "the chunk-isolating runner", e)
 
-    res = run_corpus_batched(tokens, process_batch, args.out_dir,
-                             batch_size=args.batch_size, config=config,
-                             crash_list_path=args.crash_list,
-                             manifest_name=manifest_name)
+    remaining = [t for t in pending if t not in manifest.done]
+    if remaining:
+        def process_batch(chunk):
+            utts = []
+            for tok in chunk:
+                d = args.feats_dir
+                utts.append((
+                    read_binfile(os.path.join(d, tok + ".mag"),
+                                 args.mag_dim),
+                    read_binfile(os.path.join(d, tok + ".real"),
+                                 args.phase_dim),
+                    read_binfile(os.path.join(d, tok + ".imag"),
+                                 args.phase_dim),
+                    read_binfile(os.path.join(d, tok + ".lf0"), 1)))
+            bufs, lens = synthesis_from_compressed_batch(
+                utts, args.fs, pf_type=args.pf_type,
+                keys=np.stack([key_of[t] for t in chunk]),
+                b_out_hpf=not args.no_hpf, block_result=False, mesh=mesh,
+                pcm16=True, det_fft_syn=True)
+
+            def finalize():
+                host = jax.device_get(bufs)
+                for tok, buf, n in zip(chunk, host, lens):
+                    write_wav_pcm16(
+                        os.path.join(args.out_dir, tok + ".wav"),
+                        buf[:n], args.fs)
+                return [n / args.fs for n in lens[:len(chunk)]]
+
+            return finalize
+
+        res2 = run_corpus_batched(remaining, process_batch, args.out_dir,
+                                  batch_size=args.batch_size,
+                                  config=config,
+                                  crash_list_path=args.crash_list,
+                                  manifest_name=manifest_name)
+        res2.metrics.log_summary()
+        res.metrics.log_summary()
+        return 1 if res2.failed else 0
+
     res.metrics.log_summary()
-    return 1 if res.failed else 0
+    return 0
 
 
 def cmd_eval(args) -> int:

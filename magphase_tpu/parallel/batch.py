@@ -344,13 +344,16 @@ def synthesis_batches_pipelined(batches, fs: int,
                                 pf_type: str = "no",
                                 mesh=None, pcm16: bool = False,
                                 transport: str = "f16",
-                                consume=None):
+                                consume=None,
+                                det_fft_syn: bool = False):
     """Threaded four-stage corpus synthesis: prepare -> upload -> execute
     -> download, one thread per stage (utils/pipeline.py:run_staged).
 
-    ``batches``: iterable of (utts, keys) with utts as in
-    synthesis_from_compressed_batch and keys a (len(utts), 2) uint32
-    per-utterance key array.  Yields one result per device GROUP (a batch
+    ``batches``: iterable of (utts, keys[, tag]) with utts as in
+    synthesis_from_compressed_batch, keys a (len(utts), 2) uint32
+    per-utterance key array, and ``tag`` an opaque value handed back as
+    ``host['tag'] = (tag, first_utt_index)`` for corpus attribution.
+    Yields one result per device GROUP (a batch
     may split into several groups under the HBM budget), in order:
     ``consume(bufs, host_meta)`` if given (runs on the download thread —
     device_get + wav-write there overlaps the next group's compute), else
@@ -369,17 +372,22 @@ def synthesis_batches_pipelined(batches, fs: int,
         alpha_phase = alpha
 
     def gen_groups():
-        for utts, keys in batches:
+        for batch in batches:
+            utts, keys = batch[0], batch[1]
+            tag = batch[2] if len(batch) > 2 else None
             keys = np.asarray(keys, np.uint32).reshape(len(utts), 2)
             mag_dim = np.atleast_2d(utts[0][0]).shape[1]
             phase_dim = np.atleast_2d(utts[0][1]).shape[1]
             mag_dim_ph = get_num_full_mel_coeffs_from_num_phase_coeffs(
                 define_crossfade_params(fs)[0], phase_dim, alpha_phase, fs)
-            fft_syn = synthesis_fft_len(fft_len, max(
+            framelen = max(
                 max_pitch_sync_framelen(
                     (fs / np.where(f0 == 0.0, 200.0, f0)).astype(np.int64))
                 for f0 in (np.exp(np.atleast_1d(np.squeeze(np.asarray(
-                    u[3], np.float64)))) for u in utts)))
+                    u[3], np.float64)))) for u in utts))
+            if det_fft_syn:
+                framelen = max(framelen, 2 * int(fs / 50.0) + 1)
+            fft_syn = synthesis_fft_len(fft_len, framelen)
             F_est = bucket(max(np.atleast_1d(np.squeeze(u[3])).shape[0]
                                for u in utts), FRM_STEP)
             budget = MAX_FRAME_ELEMS * (mesh.size if mesh is not None
@@ -387,7 +395,7 @@ def synthesis_batches_pipelined(batches, fs: int,
             max_b = budget_batch_cap(
                 mesh, max(1, int(budget // (F_est * fft_syn))))
             for i in range(0, len(utts), max_b):
-                yield _prepare_synthesis_group(
+                host = _prepare_synthesis_group(
                     utts[i:i + max_b], n_real=len(utts[i:i + max_b]),
                     keys=keys[i:i + max_b], mesh=mesh, max_b=max_b,
                     fs=fs, fft_syn=fft_syn, alpha=alpha,
@@ -396,6 +404,10 @@ def synthesis_batches_pipelined(batches, fs: int,
                     b_voi_ap_win=b_voi_ap_win,
                     per_phase_type=per_phase_type, b_out_hpf=b_out_hpf,
                     pf_type=pf_type, transport=transport)
+                # batch attribution for corpus consumers: (caller's tag,
+                # index of this group's first utterance within the batch)
+                host["tag"] = (tag, i)
+                yield host
 
     def upload(host):
         return _upload_synthesis_group(host, mesh)
