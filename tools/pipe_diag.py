@@ -70,6 +70,33 @@ def diag_analysis(batch=64):
     }))
 
 
+def diag_lossless(batch=24):
+    """Full-resolution lossless corpus extraction E2E: transport f32 vs
+    'compact' (int16 phase angle, half the download bytes) through the
+    threaded pipeline.  r3 baseline: ~4 audio-s/s, download-bound."""
+    from magphase_tpu.io import read_wav
+    from magphase_tpu.parallel.analysis_batch import analysis_lossless_batch
+
+    signals = [read_wav(w)[0]
+               for w in sorted(glob.glob(os.path.join(WAV_DIR, "*.wav")))]
+    batch_sigs = [signals[i % len(signals)] for i in range(batch)]
+    audio_s = sum(len(s) for s in batch_sigs) / FS
+
+    out = {"audio_s": round(audio_s, 1)}
+    for transport in ("f32", "compact"):
+        feats = analysis_lossless_batch(batch_sigs, FS,
+                                        transport=transport)  # warmup
+        assert len(feats) == batch
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            analysis_lossless_batch(batch_sigs, FS, transport=transport)
+            best = min(best, time.perf_counter() - t0)
+        out[transport] = {"wall_s": round(best, 2),
+                          "audio_s_per_s": round(audio_s / best, 2)}
+    print(json.dumps(out))
+
+
 def diag_synth(batch=128, iters=8):
     import jax
     from magphase_tpu.io import read_binfile
@@ -145,6 +172,8 @@ if __name__ == "__main__":
     mode = sys.argv[1]
     if mode == "analysis":
         diag_analysis(int(sys.argv[2]) if len(sys.argv) > 2 else 64)
+    elif mode == "lossless":
+        diag_lossless(int(sys.argv[2]) if len(sys.argv) > 2 else 24)
     else:
         diag_synth(int(sys.argv[2]) if len(sys.argv) > 2 else 128,
                    int(sys.argv[3]) if len(sys.argv) > 3 else 8)
