@@ -256,7 +256,8 @@ def cmd_generate(args) -> int:
             for done in synthesis_batches_pipelined(
                     read_batches(), args.fs, pf_type=args.pf_type,
                     b_out_hpf=not args.no_hpf, mesh=mesh, pcm16=True,
-                    consume=consume, det_fft_syn=True):
+                    consume=consume, det_fft_syn=True,
+                    transport=args.transport):
                 for tok, secs in done:
                     res.metrics.add_audio(float(secs))
                     manifest.mark(tok)
@@ -285,7 +286,7 @@ def cmd_generate(args) -> int:
                 utts, args.fs, pf_type=args.pf_type,
                 keys=np.stack([key_of[t] for t in chunk]),
                 b_out_hpf=not args.no_hpf, block_result=False, mesh=mesh,
-                pcm16=True, det_fft_syn=True)
+                pcm16=True, det_fft_syn=True, transport=args.transport)
 
             def finalize():
                 host = jax.device_get(bufs)
@@ -400,6 +401,9 @@ def main(argv=None) -> int:
     pg.add_argument("--no-hpf", action="store_true")
     pg.add_argument("--batch-size", type=int, default=16)
     pg.add_argument("--seed", type=int, default=0)
+    pg.add_argument("--transport", default="f16", choices=["f16", "int8"],
+                    help="feature upload encoding (int8: half the bytes, "
+                    "~0.26 dB MSD perturbation — for transfer-bound links)")
     pg.add_argument("--data-parallel", action="store_true",
                     help="shard batches over all local devices")
     pg.set_defaults(fn=cmd_generate)

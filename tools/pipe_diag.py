@@ -83,17 +83,22 @@ def diag_lossless(batch=24):
     audio_s = sum(len(s) for s in batch_sigs) / FS
 
     out = {"audio_s": round(audio_s, 1)}
-    for transport in ("f32", "compact"):
+    for transport in ("f32", "compact"):         # warmups (compiles)
         feats = analysis_lossless_batch(batch_sigs, FS,
-                                        transport=transport)  # warmup
+                                        transport=transport)
         assert len(feats) == batch
-        best = float("inf")
-        for _ in range(2):
+    # interleaved reps: tunnel bandwidth drifts minute to minute, so
+    # sequential per-transport blocks confound transport with time
+    times = {"f32": [], "compact": []}
+    for _ in range(3):
+        for transport in ("f32", "compact"):
             t0 = time.perf_counter()
             analysis_lossless_batch(batch_sigs, FS, transport=transport)
-            best = min(best, time.perf_counter() - t0)
-        out[transport] = {"wall_s": round(best, 2),
-                          "audio_s_per_s": round(audio_s / best, 2)}
+            times[transport].append(time.perf_counter() - t0)
+    for transport, ts in times.items():
+        out[transport] = {"wall_s": [round(t, 2) for t in ts],
+                          "best_audio_s_per_s": round(audio_s / min(ts),
+                                                      2)}
     print(json.dumps(out))
 
 
