@@ -249,7 +249,13 @@ def worker_analysis():
     batch = [signals[i % len(signals)] for i in range(ANALYSIS_BATCH)]
     audio_s = sum(len(s) for s in batch) / FS
 
-    feats = analysis_compressed_batch_async(batch, FS)()   # warmup/compile
+    # MAGPHASE_FEAT_TRANSPORT={f16,f32,int8}: mel-stream download encoding
+    feat_dtype = {"f16": np.float16, "f32": np.float32,
+                  "int8": np.uint8}[
+                      os.environ.get("MAGPHASE_FEAT_TRANSPORT", "f16")]
+
+    feats = analysis_compressed_batch_async(
+        batch, FS, feat_dtype=feat_dtype)()   # warmup/compile
     assert len(feats) == ANALYSIS_BATCH
     for m, r, i, l, sh in feats[:2]:
         assert np.all(np.isfinite(m)) and np.all(np.isfinite(l)), \
@@ -260,7 +266,7 @@ def worker_analysis():
     best_dt = float("inf")
     for rep in range(ANALYSIS_REPS):
         t0 = time.perf_counter()
-        analysis_compressed_batch_async(batch, FS)()
+        analysis_compressed_batch_async(batch, FS, feat_dtype=feat_dtype)()
         best_dt = min(best_dt, time.perf_counter() - t0)
     print(json.dumps({"value": audio_s / best_dt}))
 

@@ -353,12 +353,31 @@ def _analyze_compress_impl(sigs, marks, flags, n_marks, n_sigs, *,
         mag_dim_ph=mag_dim_ph, alpha=alpha, alpha_phase=alpha_phase)
     if pack and fc_max == 0:
         feats = jnp.concatenate([mml, mrm, mim], axis=-1)
-        if feats_f16:
-            # transfer encoding for the (download-bound) host link: the
-            # mel streams quantise to ~1e-3 relative — far below the mel
-            # compression error — lf0 (MAGIC -1e10) and shift stay f32
-            feats = feats.astype(jnp.float16)
         aux = jnp.stack([lf0, shift.astype(jnp.float32)], axis=-1)
+        if feats_f16 == "u8":
+            # int8 transfer encoding (quarter of f32): per-(utterance,
+            # coefficient) affine over VALID frames, computed on device —
+            # mirrors parallel/batch.py:quantise_feats for the upload
+            # direction.  Max error = range/510 per coefficient (~0.5%
+            # of the utterance's per-coeff dynamic range) — opt-in for
+            # transfer-bound links; training-grade extraction keeps f16.
+            B, F, D = feats.shape
+            valid = (jnp.arange(F)[None, :, None]
+                     < n_valid[:, None, None])
+            big = jnp.float32(3.0e38)
+            lo = jnp.min(jnp.where(valid, feats, big), axis=1)
+            hi = jnp.max(jnp.where(valid, feats, -big), axis=1)
+            lo = jnp.minimum(lo, hi)
+            scale = jnp.where(hi > lo, (hi - lo) / 255.0, 1.0)
+            q = jnp.clip(jnp.rint((feats - lo[:, None, :])
+                                  / scale[:, None, :]), 0, 255
+                         ).astype(jnp.uint8)
+            return q, jnp.stack([scale, lo], axis=1), aux, n_valid
+        if feats_f16:
+            # f16 transfer encoding for the (download-bound) host link:
+            # the mel streams quantise to ~1e-3 relative — far below the
+            # mel compression error — lf0 (MAGIC -1e10)/shift stay f32
+            feats = feats.astype(jnp.float16)
         return feats, aux, n_valid
     if feats_f16:
         mml, mrm, mim = (x.astype(jnp.float16) for x in (mml, mrm, mim))
@@ -669,10 +688,13 @@ def analysis_compressed_batch_async(signals: list, fs: int,
     path for one utterance batch; work starts immediately, returns
     ``finalize() -> feats``.
 
-    ``feat_dtype``: host-link transfer encoding for the mel streams
-    (float16 default halves the dominant feature download; ~1e-3 relative
-    quantisation, far below the mel compression error — pass np.float32
-    for bit-exact parity with the epochs-given sync path).
+    ``feat_dtype``: host-link transfer encoding for the mel streams —
+    np.float16 (default: halves the dominant feature download, ~1e-3
+    relative quantisation, far below the mel compression error),
+    np.float32 (bit-exact parity with the epochs-given sync path), or
+    np.uint8 (quarter of f32 via a device-side per-(utterance,
+    coefficient) affine; max error range/510 per coefficient — for
+    transfer-bound links where the downstream leg paces the pipeline).
 
     Schedule (utils/pipeline.py:run_staged, one thread per stage): while
     group k's two device programs run, group k+1's signal rows ride the
@@ -691,7 +713,10 @@ def analysis_compressed_batch_async(signals: list, fs: int,
         alpha_phase = alpha
     mag_dim_ph = get_num_full_mel_coeffs_from_num_phase_coeffs(
         define_crossfade_params(fs)[0], phase_dim, alpha_phase, fs)
-    feats_f16 = np.dtype(feat_dtype) == np.float16
+    if np.dtype(feat_dtype) == np.uint8:
+        feats_enc = "u8"          # device-side affine int8 (see kernel)
+    else:
+        feats_enc = np.dtype(feat_dtype) == np.float16
 
     def prep(group):
         """Feeder thread: host-side batch assembly (numpy only)."""
@@ -726,7 +751,7 @@ def analysis_compressed_batch_async(signals: list, fs: int,
             dict(fs=fs, fft_len=fft_len, F=Fa, mag_dim=mag_dim,
                  phase_dim=phase_dim, mag_dim_ph=mag_dim_ph,
                  alpha=alpha, alpha_phase=alpha_phase, fc_max=p["fc_max"],
-                 feats_f16=feats_f16, pack=(p["fc_max"] == 0)))
+                 feats_f16=feats_enc, pack=(p["fc_max"] == 0)))
         p["nm"] = nm
         del p["dev"]
         return p
@@ -736,16 +761,29 @@ def analysis_compressed_batch_async(signals: list, fs: int,
         nm, n_real = p["nm"], p["n_real"]
         out = []
         if p["fc_max"] == 0:
-            feats, aux, _ = p["out"]
-            feats, aux = jax.device_get((feats, aux))
-            for b in range(n_real):
-                n = int(nm[b])
-                f = feats[b, :n].astype(np.float64)
-                out.append((f[:, :mag_dim],
-                            f[:, mag_dim:mag_dim + phase_dim],
-                            f[:, mag_dim + phase_dim:],
-                            aux[b, :n, 0].astype(np.float64),
-                            aux[b, :n, 1].astype(np.int64)))
+            if len(p["out"]) == 4:            # int8 transfer encoding
+                q, scale_zp, aux = jax.device_get(p["out"][:3])
+                for b in range(n_real):
+                    n = int(nm[b])
+                    f = (q[b, :n].astype(np.float64) * scale_zp[b, 0]
+                         + scale_zp[b, 1])
+                    out.append((f[:, :mag_dim],
+                                f[:, mag_dim:mag_dim + phase_dim],
+                                f[:, mag_dim + phase_dim:],
+                                aux[b, :n, 0].astype(np.float64),
+                                aux[b, :n, 1].astype(np.int64)))
+                feats = None
+            else:
+                feats, aux, _ = p["out"]
+                feats, aux = jax.device_get((feats, aux))
+                for b in range(n_real):
+                    n = int(nm[b])
+                    f = feats[b, :n].astype(np.float64)
+                    out.append((f[:, :mag_dim],
+                                f[:, mag_dim:mag_dim + phase_dim],
+                                f[:, mag_dim + phase_dim:],
+                                aux[b, :n, 0].astype(np.float64),
+                                aux[b, :n, 1].astype(np.int64)))
         else:
             mml, mrm, mim, lf0, shift, n_valid = p["out"]
             nv = np.asarray(jax.device_get(n_valid))

@@ -76,6 +76,25 @@ def test_lossless_batch_compact_transport_gate():
     assert float(err.max()) < 2.0 ** -14
 
 
+def test_compressed_batch_uint8_feat_transport():
+    """np.uint8 feat_dtype: device-side affine int8 download must match
+    the f32 features to the per-coefficient quantisation bound
+    (range/510), with lf0/shift untouched."""
+    from magphase_tpu.parallel.analysis_batch import \
+        analysis_compressed_batch_async
+
+    sig = _load("hvd_593")
+    (m8, r8, i8, l8, s8), = analysis_compressed_batch_async(
+        [sig], 48000, feat_dtype=np.uint8)()
+    (mf, rf, if_, lf, sf), = analysis_compressed_batch_async(
+        [sig], 48000, feat_dtype=np.float32)()
+    np.testing.assert_array_equal(s8, sf)
+    np.testing.assert_array_equal(l8, lf)
+    for a, b in ((m8, mf), (r8, rf), (i8, if_)):
+        rng = np.maximum(b.max(axis=0) - b.min(axis=0), 1e-9)
+        assert np.max(np.abs(a - b) / rng[None, :]) < 1.0 / 250.0
+
+
 def test_compressed_batch_output_dims():
     sigs = [_load("hvd_593")]
     out = analysis_compressed_batch(sigs, 48000, mag_dim=60, phase_dim=45)
