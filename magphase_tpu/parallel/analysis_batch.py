@@ -694,7 +694,9 @@ def analysis_compressed_batch_async(signals: list, fs: int,
     np.float32 (bit-exact parity with the epochs-given sync path), or
     np.uint8 (quarter of f32 via a device-side per-(utterance,
     coefficient) affine; max error range/510 per coefficient — for
-    transfer-bound links where the downstream leg paces the pipeline).
+    transfer-bound links where the downstream leg paces the pipeline;
+    applies to the variable-rate packed path, const-rate falls back to
+    float16).
 
     Schedule (utils/pipeline.py:run_staged, one thread per stage): while
     group k's two device programs run, group k+1's signal rows ride the

@@ -22,6 +22,37 @@ def workdir(tmp_path_factory):
     return d
 
 
+def test_generate_bad_utterance_isolated(tmp_path):
+    """A corrupt/missing utterance mid-corpus: the pipelined fast path
+    fails over to the chunk-isolating runner, which retries per
+    utterance — the bad token lands on the crash list, every good one
+    still renders (the reference's crash-list contract, SURVEY.md §5)."""
+    feats = tmp_path / "feats"
+    feats.mkdir()
+    src = os.path.join(DATA, "params_predicted")
+    toks = ["hvd_704", "hvd_705", "hvd_706"]
+    for t in toks:
+        for ext in (".mag", ".real", ".imag", ".lf0"):
+            shutil.copy(os.path.join(src, t + ext), feats / (t + ext))
+    # corrupt the middle utterance: truncated .mag (not a multiple of
+    # the feature dim -> read_binfile raises)
+    with open(feats / "hvd_705.mag", "wb") as f:
+        f.write(b"\x00" * 37)
+    scp = tmp_path / "gen.scp"
+    scp.write_text("\n".join(toks) + "\n")
+    out = tmp_path / "wavs"
+    crash = tmp_path / "crash.scp"
+    rc = cli_main(["generate", "--scp", str(scp), "--feats-dir",
+                   str(feats), "--out-dir", str(out), "--fs", "48000",
+                   "--batch-size", "2", "--pf-type", "no",
+                   "--crash-list", str(crash)])
+    assert rc == 1                      # failures reported
+    assert (out / "hvd_704.wav").exists()
+    assert (out / "hvd_706.wav").exists()
+    assert not (out / "hvd_705.wav").exists()
+    assert crash.read_text().split() == ["hvd_705"]
+
+
 def test_generate_waveforms(workdir):
     out = workdir / "wavs_syn"
     rc = cli_main(["generate", "--scp", str(workdir / "pred.scp"),
