@@ -136,6 +136,38 @@ def test_extract_data_parallel_and_sorted(workdir):
         assert np.array_equal(a, b)
 
 
+def test_generate_data_parallel_matches_single_device(workdir, tmp_path):
+    """generate --data-parallel (pipelined driver under the 8-device
+    shard_map mesh) vs the single-device run: same per-utterance keys
+    and composition-independent math, so outputs agree to <= 1 PCM16
+    LSB.  (Byte-identity holds for a FIXED device topology — the
+    multi-host guarantee — but changing the per-device batch shape
+    changes XLA's f32 accumulation order at the ulp level, which can
+    flip isolated PCM16 rounding boundaries.)"""
+    import wave
+    base = tmp_path / "wavs_base"
+    dp = tmp_path / "wavs_dp"
+    common = ["generate", "--scp", str(workdir / "pred.scp"),
+              "--feats-dir", os.path.join(DATA, "params_predicted"),
+              "--out-dir", None, "--fs", "48000", "--pf-type", "no",
+              "--batch-size", "2"]
+    for out, extra in ((base, []), (dp, ["--data-parallel"])):
+        args = list(common)
+        args[args.index(None)] = str(out)
+        assert cli_main(args + extra) == 0
+    for tok in ("hvd_704", "hvd_705"):
+        def pcm(path):
+            with wave.open(str(path)) as w:
+                return np.frombuffer(w.readframes(w.getnframes()),
+                                     np.int16).astype(np.int32)
+        a, b = pcm(base / f"{tok}.wav"), pcm(dp / f"{tok}.wav")
+        assert a.shape == b.shape
+        d = np.abs(a - b)
+        assert d.max() <= 1, (tok, d.max())
+        # rounding-boundary flips are rare, not systematic
+        assert np.mean(d > 0) < 0.01, (tok, float(np.mean(d > 0)))
+
+
 def test_eval_command(workdir, capsys):
     import json
     _ensure_feats(workdir)
