@@ -186,11 +186,24 @@ def cmd_generate(args) -> int:
     all_keys = np.asarray(jax.random.split(
         jax.random.PRNGKey(args.seed), max(len(tokens), 1)), np.uint32)
     key_of = {tok: all_keys[i] for i, tok in enumerate(tokens)}
+    # every output-affecting knob must be in the manifest config — a
+    # resumed run with ANY of them changed restarts instead of silently
+    # mixing differently-rendered wavs in one corpus
     config = {"fs": args.fs, "mag_dim": args.mag_dim,
               "phase_dim": args.phase_dim, "pf_type": args.pf_type,
-              "const_rate": args.const_rate}
+              "const_rate": args.const_rate, "seed": args.seed,
+              "hpf": not args.no_hpf, "transport": args.transport}
     mesh = _maybe_mesh(args.data_parallel)
     tokens, manifest_name = _host_partition(tokens)
+
+    def read_utt_feats(tok):
+        d = args.feats_dir
+        return (read_binfile(os.path.join(d, tok + ".mag"), args.mag_dim),
+                read_binfile(os.path.join(d, tok + ".real"),
+                             args.phase_dim),
+                read_binfile(os.path.join(d, tok + ".imag"),
+                             args.phase_dim),
+                read_binfile(os.path.join(d, tok + ".lf0"), 1))
 
     if args.const_rate:
         # constant-rate inputs need the per-utterance backward shift walk
@@ -225,18 +238,17 @@ def cmd_generate(args) -> int:
     for tok in tokens:
         (res.skipped if tok in manifest.done else pending).append(tok)
 
-    def read_batches():
-        for i in range(0, len(pending), args.batch_size):
-            chunk = pending[i:i + args.batch_size]
-            d = args.feats_dir
-            utts = [(read_binfile(os.path.join(d, t + ".mag"),
-                                  args.mag_dim),
-                     read_binfile(os.path.join(d, t + ".real"),
-                                  args.phase_dim),
-                     read_binfile(os.path.join(d, t + ".imag"),
-                                  args.phase_dim),
-                     read_binfile(os.path.join(d, t + ".lf0"), 1))
-                    for t in chunk]
+    def read_batches(pend, unreadable):
+        for i in range(0, len(pend), args.batch_size):
+            chunk = pend[i:i + args.batch_size]
+            try:
+                utts = [read_utt_feats(t) for t in chunk]
+            except Exception:
+                # a missing/corrupt feature file must not tear down the
+                # pipeline: park the chunk for the chunk-isolating
+                # runner (which singleton-retries + crash-lists it)
+                unreadable.extend(chunk)
+                continue
             yield utts, np.stack([key_of[t] for t in chunk]), chunk
 
     def consume(bufs, host):
@@ -251,37 +263,41 @@ def cmd_generate(args) -> int:
             done.append((tok, n / args.fs))
         return done
 
-    try:
-        with res.metrics.stage("process"):
-            for done in synthesis_batches_pipelined(
-                    read_batches(), args.fs, pf_type=args.pf_type,
-                    b_out_hpf=not args.no_hpf, mesh=mesh, pcm16=True,
-                    consume=consume, det_fft_syn=True,
-                    transport=args.transport):
-                for tok, secs in done:
-                    res.metrics.add_audio(float(secs))
-                    manifest.mark(tok)
-                    res.done.append(tok)
-                manifest.save()
-    except Exception as e:
-        from .utils.metrics import logger
-        logger.warning("pipelined generation failed (%s); falling back to "
-                       "the chunk-isolating runner", e)
+    # fast path with bounded retries: unreadable chunks are parked by the
+    # feeder without stopping the pipeline; a device-stage failure tears
+    # one pipeline down but the NEXT attempt resumes pipelined from the
+    # manifest, so one bad chunk costs one retry — not a demotion of the
+    # whole remaining corpus to the slow runner
+    unreadable: list = []
+    for attempt in range(3):
+        todo = [t for t in pending
+                if t not in manifest.done and t not in unreadable]
+        if not todo:
+            break
+        try:
+            with res.metrics.stage("process"):
+                for done in synthesis_batches_pipelined(
+                        read_batches(todo, unreadable), args.fs,
+                        pf_type=args.pf_type,
+                        b_out_hpf=not args.no_hpf, mesh=mesh, pcm16=True,
+                        consume=consume, det_fft_syn=True,
+                        transport=args.transport):
+                    for tok, secs in done:
+                        res.metrics.add_audio(float(secs))
+                        manifest.mark(tok)
+                        res.done.append(tok)
+                    manifest.save()
+            break
+        except Exception as e:
+            from .utils.metrics import logger
+            logger.warning("pipelined generation failed (%s); "
+                           "retry %d/2 resumes from the manifest",
+                           e, attempt + 1)
 
     remaining = [t for t in pending if t not in manifest.done]
     if remaining:
         def process_batch(chunk):
-            utts = []
-            for tok in chunk:
-                d = args.feats_dir
-                utts.append((
-                    read_binfile(os.path.join(d, tok + ".mag"),
-                                 args.mag_dim),
-                    read_binfile(os.path.join(d, tok + ".real"),
-                                 args.phase_dim),
-                    read_binfile(os.path.join(d, tok + ".imag"),
-                                 args.phase_dim),
-                    read_binfile(os.path.join(d, tok + ".lf0"), 1)))
+            utts = [read_utt_feats(tok) for tok in chunk]
             bufs, lens = synthesis_from_compressed_batch(
                 utts, args.fs, pf_type=args.pf_type,
                 keys=np.stack([key_of[t] for t in chunk]),

@@ -141,6 +141,44 @@ def _pcm16_kernel(bufs, lens, *, norm: float = 0.98):
     return q.astype(jnp.int16)
 
 
+def _synthesis_geometry(utts, fs: int, fft_len: int, det_fft_syn: bool,
+                        mesh):
+    """(fft_syn, max_b) for one synthesis call — the ONE place the
+    adaptive-FFT and HBM-budget arithmetic lives (the blocking entry,
+    its budget-split recursion and the pipelined driver all share it).
+
+    Adaptive mode: smallest power-of-2 containing every realised
+    pitch-sync frame (vocoder.compressed.synthesis_fft_len) — also
+    relaxes the HBM budget, so smaller FFTs admit larger sub-batches.
+
+    ``det_fft_syn``: the FFT is FIXED from the 50 Hz worst case —
+    independent of content, so every output sample is independent of
+    which utterances share a batch (byte-identical multi-host merges).
+    Frames of pathological f0 < 50 Hz (below the tracker's F0_MIN and
+    the reference's REAPER floor, libaudio.py:453) get truncated to the
+    fft length exactly as the reference truncates over-long frames
+    (magphase.py:311-315); clamping — rather than flooring — is what
+    keeps a sub-50 Hz utterance from silently changing its batchmates'
+    audio."""
+    if det_fft_syn:
+        framelen_call = 2 * int(fs / 50.0) + 1
+    else:
+        framelen_call = max(
+            max_pitch_sync_framelen(
+                (fs / np.where(f0 == 0.0, 200.0, f0)).astype(np.int64))
+            for f0 in (np.exp(np.atleast_1d(np.squeeze(np.asarray(
+                u[3], np.float64)))) for u in utts))
+    fft_syn = synthesis_fft_len(fft_len, framelen_call)
+
+    # HBM budget: the kernel materialises (B, F, fft_syn) spectra — split
+    # oversized batches (long utterances) into sequential sub-batches
+    F_est = bucket(max(np.atleast_1d(np.squeeze(u[3])).shape[0]
+                       for u in utts), FRM_STEP)
+    budget = MAX_FRAME_ELEMS * (mesh.size if mesh is not None else 1)
+    max_b = budget_batch_cap(mesh, max(1, int(budget // (F_est * fft_syn))))
+    return fft_syn, max_b
+
+
 def synthesis_from_compressed_batch(utts, fs: int,
                                     fft_len: int | None = None,
                                     b_voi_ap_win: bool = True,
@@ -182,6 +220,12 @@ def synthesis_from_compressed_batch(utts, fs: int,
     'blocked' high-pass this makes every output sample independent of
     batch composition (byte-identical multi-host merges).
     """
+    if pcm16 and block_result:
+        # validate BEFORE any device work (and independent of python -O):
+        # int16 PCM rows must not be handed back as float64 "waveforms"
+        raise ValueError("pcm16=True is a device transfer encoding; use "
+                         "block_result=False and write the int16 rows "
+                         "with io.wav.write_wav_pcm16")
     alpha = define_alpha(fs)
     if fft_len is None:
         fft_len = define_fft_len(fs)
@@ -202,28 +246,8 @@ def synthesis_from_compressed_batch(utts, fs: int,
     mag_dim_ph = get_num_full_mel_coeffs_from_num_phase_coeffs(
         define_crossfade_params(fs)[0], phase_dim, alpha_phase, fs)
 
-    # adaptive synthesis FFT from the realised shifts of the whole call
-    # (see vocoder.compressed.synthesis_fft_len) — also relaxes the HBM
-    # budget, so smaller synthesis FFTs admit larger sub-batches.
-    # det_fft_syn additionally floors the frame support at the 50 Hz
-    # worst case, so the chosen FFT (and therefore every sample of audio)
-    # does not depend on which utterances share the batch — the corpus
-    # CLI uses this for byte-identical multi-host merges.
-    framelen_call = max(
-        max_pitch_sync_framelen(
-            (fs / np.where(f0 == 0.0, 200.0, f0)).astype(np.int64))
-        for f0 in (np.exp(np.atleast_1d(np.squeeze(np.asarray(
-            u[3], np.float64)))) for u in utts))
-    if det_fft_syn:
-        framelen_call = max(framelen_call, 2 * int(fs / 50.0) + 1)
-    fft_syn = synthesis_fft_len(fft_len, framelen_call)
-
-    # HBM budget: the kernel materialises (B, F, fft_syn) spectra — split
-    # oversized batches (long utterances) into sequential sub-batches
-    F_est = bucket(max(np.atleast_1d(np.squeeze(u[3])).shape[0]
-                       for u in utts), FRM_STEP)
-    budget = MAX_FRAME_ELEMS * (mesh.size if mesh is not None else 1)
-    max_b = budget_batch_cap(mesh, max(1, int(budget // (F_est * fft_syn))))
+    fft_syn, max_b = _synthesis_geometry(utts, fs, fft_len, det_fft_syn,
+                                         mesh)
     if len(utts) > max_b:
         out, rows, lens_all = [], [], []
         for i in range(0, len(utts), max_b):
@@ -254,8 +278,6 @@ def synthesis_from_compressed_batch(utts, fs: int,
     bufs = _execute_synthesis_group(dev, mesh, pcm16=pcm16)
     out_lens = host["out_lens"]
     n_real = host["n_real"]
-    if pcm16:
-        assert not block_result, "pcm16 is a device transfer encoding"
     if not block_result:
         return bufs, out_lens[:n_real]
     bufs = jax.device_get(bufs)
@@ -380,20 +402,8 @@ def synthesis_batches_pipelined(batches, fs: int,
             phase_dim = np.atleast_2d(utts[0][1]).shape[1]
             mag_dim_ph = get_num_full_mel_coeffs_from_num_phase_coeffs(
                 define_crossfade_params(fs)[0], phase_dim, alpha_phase, fs)
-            framelen = max(
-                max_pitch_sync_framelen(
-                    (fs / np.where(f0 == 0.0, 200.0, f0)).astype(np.int64))
-                for f0 in (np.exp(np.atleast_1d(np.squeeze(np.asarray(
-                    u[3], np.float64)))) for u in utts))
-            if det_fft_syn:
-                framelen = max(framelen, 2 * int(fs / 50.0) + 1)
-            fft_syn = synthesis_fft_len(fft_len, framelen)
-            F_est = bucket(max(np.atleast_1d(np.squeeze(u[3])).shape[0]
-                               for u in utts), FRM_STEP)
-            budget = MAX_FRAME_ELEMS * (mesh.size if mesh is not None
-                                        else 1)
-            max_b = budget_batch_cap(
-                mesh, max(1, int(budget // (F_est * fft_syn))))
+            fft_syn, max_b = _synthesis_geometry(utts, fs, fft_len,
+                                                 det_fft_syn, mesh)
             for i in range(0, len(utts), max_b):
                 host = _prepare_synthesis_group(
                     utts[i:i + max_b], n_real=len(utts[i:i + max_b]),

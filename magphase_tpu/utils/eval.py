@@ -69,6 +69,7 @@ def mel_spectral_distortion_piecewise(v_sig_a, v_sig_b, fs: int,
                                       chunk_s: float = 0.5,
                                       max_lag_ms: float = 30.0,
                                       trim: float = 0.2,
+                                      return_worst: bool = False,
                                       **kw) -> float:
     """Drift-robust MSD: align globally, then re-align each ``chunk_s``
     window by ENERGY-NORMALISED cross-correlation and return the trimmed
@@ -88,7 +89,13 @@ def mel_spectral_distortion_piecewise(v_sig_a, v_sig_b, fs: int,
     * trimmed mean — bounds the influence of any residual pathological
       chunk.  Together: max per-utterance spread across keys 0.62 dB,
       vs 3.8 (plain piecewise) and 4.7 (global) — stable enough to gate
-      with ~0.5 dB margins."""
+      with ~0.5 dB margins.
+
+    Because trimming makes the PRIMARY score blind to defects confined
+    to < ``trim`` of the audio, gates should pair it with the untrimmed
+    worst chunk: ``return_worst=True`` returns (trimmed_mean,
+    max_chunk) so a localised catastrophic artifact (one broken chunk at
+    40 dB) cannot hide in the dropped tail."""
     a, b = align_by_xcorr(v_sig_a, v_sig_b, fs)
     n = min(len(a), len(b))
     cs = int(chunk_s * fs)
@@ -99,17 +106,23 @@ def mel_spectral_distortion_piecewise(v_sig_a, v_sig_b, fs: int,
         lo, hi = max(0, st - pad), min(n, st + cs + pad)
         cand = b[lo:hi]
         # local lag: slide ref over the padded candidate window,
-        # normalising by the candidate window's local energy
+        # normalising by the candidate window's local energy (cumsum
+        # sliding window: O(len) vs O(len*cs) for a convolution)
         c = np.correlate(cand, ref, "valid")
-        e = np.sqrt(np.convolve(cand * cand, np.ones(cs), "valid"))
+        csum = np.concatenate(([0.0], np.cumsum(cand * cand)))
+        e = np.sqrt(np.maximum(csum[cs:] - csum[:-cs], 0.0))[:len(c)]
         off = int(np.argmax(c / (e + 1e-12)))
         vals.append(mel_spectral_distortion(ref, cand[off:off + cs], fs,
                                             align=False, **kw))
     if not vals:
-        return mel_spectral_distortion(a, b, fs, align=False, **kw)
+        v = mel_spectral_distortion(a, b, fs, align=False, **kw)
+        return (v, v) if return_worst else v
     vals = np.sort(np.asarray(vals))
     keep = max(1, int(np.ceil(len(vals) * (1.0 - trim))))
-    return float(np.mean(vals[:keep]))
+    mean = float(np.mean(vals[:keep]))
+    if return_worst:
+        return mean, float(vals[-1])
+    return mean
 
 
 def mel_spectral_distortion(v_sig_a, v_sig_b, fs: int, n_mel: int = 60,

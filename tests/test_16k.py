@@ -33,9 +33,12 @@ DATA = "/root/reference/demos/data_48k/wavs_nat"
 # 16k mean 9.81 max 12.48; 22050 mean 7.83 max 9.46;
 # 44100 mean 7.14 max 9.98
 RATE_GATES = {
-    16000: (1, 3, 10.3, 13.2),
-    22050: (147, 320, 8.4, 10.2),
-    44100: (147, 160, 7.7, 10.7),
+    # (up, dn, mean_max, utt_max, worst_chunk_max) — the last is the
+    # UNTRIMMED worst chunk (catastrophic-artifact catch; recorded
+    # 30.9 / 18.7 / 26.5 — the 16 kHz tail is the known drift regime)
+    16000: (1, 3, 10.3, 13.2, 36.0),
+    22050: (147, 320, 8.4, 10.2, 24.0),
+    44100: (147, 160, 7.7, 10.7, 32.0),
 }
 
 
@@ -120,7 +123,7 @@ def test_multirate_corpus_msd(fs):
     from magphase_tpu.parallel.batch import synthesis_from_compressed_batch
     from magphase_tpu.utils.eval import mel_spectral_distortion_piecewise
 
-    up, dn, mean_max, utt_max = RATE_GATES[fs]
+    up, dn, mean_max, utt_max, worst_max = RATE_GATES[fs]
     wavs = sorted(glob.glob(f"{DATA}/*.wav"))
     assert len(wavs) == 10
     toks = [w.rsplit("/", 1)[1][:-4] for w in wavs]
@@ -130,9 +133,12 @@ def test_multirate_corpus_msd(fs):
     utts = [(m, r, i, l) for (m, r, i, l, _s) in feats]
     outs = synthesis_from_compressed_batch(utts, fs,
                                            key=jax.random.PRNGKey(0))
-    msds = {t: mel_spectral_distortion_piecewise(s, np.asarray(o), fs,
-                                                 floor_db=40.0)
-            for t, s, o in zip(toks, sigs, outs)}
+    msds = {}
+    for t, s, o in zip(toks, sigs, outs):
+        mean, worst = mel_spectral_distortion_piecewise(
+            s, np.asarray(o), fs, floor_db=40.0, return_worst=True)
+        assert worst < worst_max, (fs, t, mean, worst)
+        msds[t] = mean
     mean = float(np.mean(list(msds.values())))
     assert mean < mean_max, (fs, msds)
     bad = {t: m for t, m in msds.items() if m >= utt_max}

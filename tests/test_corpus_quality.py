@@ -39,6 +39,10 @@ MSD_MEAN_MAX = 7.4
 MSD_UTT_MAX = 9.5
 MSD_MEAN_MAX_LIVE = 7.5
 MSD_UTT_MAX_LIVE = 9.6
+# catastrophic-artifact catch: trimming makes the primary score blind to
+# defects confined to <20% of the audio, so the UNTRIMMED worst chunk is
+# gated too (recorded 16.88 dB; a single broken chunk reads 40+)
+MSD_WORST_CHUNK_MAX = 22.0
 
 EPOCH_FIXTURE = "tests/data/epochs_48k.npz"
 
@@ -74,9 +78,13 @@ def _corpus_msd(toks, sigs, epochs=None):
     utts = [(m, r, i, l) for (m, r, i, l, _s) in feats]
     outs = synthesis_from_compressed_batch(utts, FS,
                                            key=jax.random.PRNGKey(0))
-    return {tok: mel_spectral_distortion_piecewise(
-                sig, np.asarray(syn), FS, floor_db=40.0)
-            for tok, sig, syn in zip(toks, sigs, outs)}
+    out = {}
+    for tok, sig, syn in zip(toks, sigs, outs):
+        mean, worst = mel_spectral_distortion_piecewise(
+            sig, np.asarray(syn), FS, floor_db=40.0, return_worst=True)
+        assert worst < MSD_WORST_CHUNK_MAX, (tok, mean, worst)
+        out[tok] = mean
+    return out
 
 
 def test_compressed_loop_msd_fixed_epochs(corpus):

@@ -144,16 +144,24 @@ def main(out_md=os.path.join(REPO, "SCALING.md")):
                                 "--batch-size", "4", "--pf-type", "no"], n)
         hashes[n] = (_tree_hash(feats), _tree_hash(wavs))
         manifests = glob.glob(os.path.join(feats, ".magphase_manifest.p*"))
-        per_host_audio = [round(m.get("audio_seconds", 0.0), 1) for m in mx]
-        per_host_proc = [round(m.get("stages", {}).get("process", {})
-                               .get("s", 0.0), 1) for m in mx]
+        def _audio(ms):
+            return [round(m.get("audio_seconds", 0.0), 1) for m in ms]
+
+        def _proc(ms):
+            return [round(m.get("stages", {}).get("process", {})
+                          .get("s", 0.0), 1) for m in ms]
+
+        per_host_audio = _audio(mx)
         rows.append(dict(
             hosts=n, extract_wall_s=round(t_ex, 1),
             generate_wall_s=round(t_gen, 1),
             per_host_audio_s=per_host_audio,
-            per_host_process_s=per_host_proc,
+            per_host_process_s=_proc(mx),
+            gen_per_host_process_s=_proc(mg),
             partition_balance=round(
                 min(per_host_audio) / max(max(per_host_audio), 1e-9), 3),
+            gen_balance=round(
+                min(_audio(mg)) / max(max(_audio(mg)), 1e-9), 3),
             manifests=len(manifests) or 1))
 
     ident = all(hashes[n] == hashes[1] for n in hashes)
@@ -189,14 +197,16 @@ def main(out_md=os.path.join(REPO, "SCALING.md")):
         "the manifests (same contract as single-host).",
         "",
         "| hosts | extract wall s | generate wall s | per-host audio-s "
-        "| per-host process s | balance | manifests |",
-        "|---|---|---|---|---|---|---|",
+        "| extract per-host process s | generate per-host process s | "
+        "balance (ex / gen) | manifests |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         lines.append(
             f"| {r['hosts']} | {r['extract_wall_s']} | "
             f"{r['generate_wall_s']} | {r['per_host_audio_s']} | "
-            f"{r['per_host_process_s']} | {r['partition_balance']} | "
+            f"{r['per_host_process_s']} | {r['gen_per_host_process_s']} | "
+            f"{r['partition_balance']} / {r['gen_balance']} | "
             f"{r['manifests']} |")
     lines += [
         "",
