@@ -53,6 +53,29 @@ def test_generate_bad_utterance_isolated(tmp_path):
     assert crash.read_text().split() == ["hvd_705"]
 
 
+def test_extract_bad_wav_isolated(tmp_path):
+    """A corrupt wav mid-corpus: extraction's chunk runner isolates it
+    via singleton retries; good neighbours still extract."""
+    wavs = tmp_path / "wavs"
+    wavs.mkdir()
+    for tok in ("hvd_593", "hvd_594"):
+        shutil.copy(os.path.join(DATA, "wavs_nat", tok + ".wav"),
+                    wavs / (tok + ".wav"))
+    (wavs / "broken.wav").write_bytes(b"RIFFgarbage")
+    scp = tmp_path / "ex.scp"
+    scp.write_text("hvd_593\nbroken\nhvd_594\n")
+    out = tmp_path / "feats"
+    crash = tmp_path / "crash.scp"
+    rc = cli_main(["extract", "--scp", str(scp), "--wav-dir", str(wavs),
+                   "--out-dir", str(out), "--batch-size", "3",
+                   "--crash-list", str(crash)])
+    assert rc == 1
+    for tok in ("hvd_593", "hvd_594"):
+        assert (out / f"{tok}.mag").exists(), tok
+    assert not (out / "broken.mag").exists()
+    assert crash.read_text().split() == ["broken"]
+
+
 def test_generate_waveforms(workdir):
     out = workdir / "wavs_syn"
     rc = cli_main(["generate", "--scp", str(workdir / "pred.scp"),
