@@ -7,10 +7,11 @@ import pytest
 from magphase_tpu.utils.pipeline import run_staged
 
 
-def test_order_and_results():
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_order_and_results(depth):
     out = list(run_staged(range(20), [lambda x: x + 1,
                                       lambda x: x * 2,
-                                      lambda x: x - 3]))
+                                      lambda x: x - 3], depth=depth))
     assert out == [(x + 1) * 2 - 3 for x in range(20)]
 
 
