@@ -33,7 +33,7 @@ def main(argv=None) -> int:
                                  mkdir)
     from magphase_tpu.parallel.analysis_batch import analysis_compressed_batch
     from magphase_tpu.parallel.batch import synthesis_from_compressed_batch
-    from magphase_tpu.utils.eval import mel_spectral_distortion
+    from magphase_tpu.utils.eval import mel_spectral_distortion_piecewise
     from magphase_tpu.utils.metrics import Metrics, setup_logging
 
     setup_logging()
@@ -67,8 +67,14 @@ def main(argv=None) -> int:
     msds = []
     for tok, sig, w in zip(tokens, sigs, wavs):
         write_audio_file(os.path.join(args.out_dir, tok + ".wav"), w, fs)
-        msds.append(mel_spectral_distortion(sig, np.asarray(w), fs))
-    print(f"copy-synthesis MSD: mean {np.mean(msds):.2f} dB  "
+        # gating convention (tests/test_corpus_quality.py): floor 40 dB
+        # below peak — without it, digital silence in the natural
+        # recording vs the vocoder's noise floor dominates the mean with
+        # content-free distortion (+~18 dB of pure metric artifact)
+        msds.append(mel_spectral_distortion_piecewise(
+            sig, np.asarray(w), fs, floor_db=40.0))
+    print(f"copy-synthesis piecewise MSD (floor 40 dB): "
+          f"mean {np.mean(msds):.2f} dB  "
           f"(per-utt {' '.join('%.2f' % m for m in msds)})")
     print("wavs ->", args.out_dir)
     return 0
