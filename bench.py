@@ -55,7 +55,8 @@ ANALYSIS_BATCH = 192         # 10 demo wavs cycled; 6 HBM-budget groups,
                              # enough for the threaded 3-stage pipeline
                              # to reach steady state (fill/drain
                              # amortised) as in corpus extraction
-ANALYSIS_REPS = 3
+ANALYSIS_REPS = 5        # reps are ~2.5 s; tunnel stalls can poison a
+                         # whole 3-rep window, so best-of-5 de-noises
 WORKER_REPS = 3          # E2E is tunnel-bound and contention swings it
                          # ~4-8x; best-of-3 fresh workers de-noises it
 PER_CHIP_TARGET = 5000.0 / 16.0
