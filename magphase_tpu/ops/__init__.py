@@ -12,8 +12,15 @@ jit-able JAX ops over dense (frames, bins) tensors:
   fbank     — filter-bank warp family
   filters   — medfilt, IIR-as-FFT-convolution, scan-based lfilter
   interp    — coefficient extension / linear maps
+  misc_dsp  — the remaining libaudio utility surface (smoothing,
+              unvoiced-region interp, spectral RMS, masks, ...)
 """
-from ..core import fbank, filters, framing, interp, melcep, spectral, windows
+from ..core import (fbank, filters, framing, interp, melcep, misc_dsp,
+                    spectral, windows)
+from ..core.misc_dsp import (gen_mask_simple, interp_unv_regions,
+                             mcep_to_lin_sp_log, mix_by_mask,
+                             next_pow_of_two, smooth_by_conv, win_squared)
+from ..core.spectral import get_rms
 from ..core.framing import (frame_geometry, ola_centered, ola_centered_batch,
                             pitch_sync_frames, pitch_sync_frames_batch,
                             apply_anti_ringing)
@@ -34,5 +41,7 @@ __all__ = [
     "remove_hermitian_half", "build_min_phase_from_mag_spec",
     "build_mel_curve", "protected_log", "db", "rceps", "true_envelope",
     "spectral_crossfade", "medfilt3", "lfilter", "sosfilt",
-    "butter_highpass_sos",
+    "butter_highpass_sos", "misc_dsp", "smooth_by_conv",
+    "interp_unv_regions", "mcep_to_lin_sp_log", "next_pow_of_two",
+    "win_squared", "gen_mask_simple", "mix_by_mask", "get_rms",
 ]
