@@ -92,14 +92,18 @@ def measure(batch: int = 64) -> dict:
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t_up = time_upload(rows)
-    t_down = time_download(feats16) + time_download(lf0_sh)
-
     # --- device time for the same group (scan-loop, contention-immune)
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from device_bench import bench_analysis_phases
     dev_audio_per_s = bench_analysis_phases(batch=24)
     t_dev = audio_s / dev_audio_per_s
+
+    # bounds are sampled BEFORE and AFTER the E2E reps and averaged: the
+    # tunnel's rates drift minute to minute, and a bound measured in a
+    # different weather window than the E2E makes the ratio meaningless
+    # (observed 0.58 vs 0.96 across runs of the same code)
+    t_up = time_upload(rows)
+    t_down = time_download(feats16) + time_download(lf0_sh)
 
     # --- measured E2E on the same workload
     f = analysis_compressed_batch_async(batch_sigs, FS)
@@ -110,6 +114,10 @@ def measure(batch: int = 64) -> dict:
         analysis_compressed_batch_async(batch_sigs, FS)()
         best_e2e = min(best_e2e, time.perf_counter() - t0)
     e2e = audio_s / best_e2e
+
+    t_up = 0.5 * (t_up + time_upload(rows))
+    t_down = 0.5 * (t_down + time_download(feats16)
+                    + time_download(lf0_sh))
 
     # bounds: perfectly-overlapped (limited by the slowest leg) and
     # fully-serial (sum of legs)
