@@ -105,11 +105,13 @@ def measure(batch: int = 64) -> dict:
     t_up = time_upload(rows)
     t_down = time_download(feats16) + time_download(lf0_sh)
 
-    # --- measured E2E on the same workload
+    # --- measured E2E on the same workload (best of 5: individual reps
+    # swing with the same minute-scale weather the bounds do; enough
+    # reps let at least one land in the bound-sample windows)
     f = analysis_compressed_batch_async(batch_sigs, FS)
     f()                                          # warmup/compile
     best_e2e = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         analysis_compressed_batch_async(batch_sigs, FS)()
         best_e2e = min(best_e2e, time.perf_counter() - t0)
