@@ -436,26 +436,24 @@ def analysis_lossless_batch(signals: list, fs: int,
                         m_max=m_max, n_real=n_real)
 
         def upload(p):
-            """Upload + fire-and-forget dispatch of the fused program."""
-            dev = _upload_signal_batch(p["host"], mesh)
+            p["dev"] = _upload_signal_batch(p["host"], mesh)
             del p["host"]
-            p["raw"] = _run_kernel(
-                _fused_track_lossless_kernel, _fused_track_lossless_impl,
-                mesh, dev, dict(fs=fs, n_frames_max=p["Tmax"],
-                                m_max=p["m_max"], fft_len=fft_len,
-                                compact=compact))
             return p
 
-        def download(p):
-            # mark-count sync + frame trim at the head of the download
-            # stage, just before this group's own big device_get (see
-            # analysis_compressed_batch_async for why not a separate
-            # compute stage)
-            out = p.pop("raw")
+        def compute(p):
+            out = _run_kernel(
+                _fused_track_lossless_kernel, _fused_track_lossless_impl,
+                mesh, p["dev"], dict(fs=fs, n_frames_max=p["Tmax"],
+                                     m_max=p["m_max"], fft_len=fft_len,
+                                     compact=compact))
             n_marks = np.asarray(jax.device_get(out[-1]))
             Fa = min(p["m_max"], bucket(int(n_marks.max()), FRM_STEP))
             p["out"] = _trim_frames(tuple(out[:-1]), n=Fa)
             p["nm"] = n_marks
+            del p["dev"]
+            return p
+
+        def download(p):
             nm, n_real = p["nm"], p["n_real"]
             out = []
             if compact:
@@ -496,7 +494,8 @@ def analysis_lossless_batch(signals: list, fs: int,
         from ..utils.pipeline import run_staged
         groups = _split_for_budget(signals, fs, fft_len, mesh)
         all_out = []
-        for chunk in run_staged(map(prep, groups), [upload, download]):
+        for chunk in run_staged(map(prep, groups),
+                                [upload, compute, download]):
             all_out.extend(chunk)
         return all_out
 
@@ -699,17 +698,12 @@ def analysis_compressed_batch_async(signals: list, fs: int,
     applies to the variable-rate packed path, const-rate falls back to
     float16).
 
-    Schedule (utils/pipeline.py:run_staged, one thread per stage):
-    group k+1's signal rows ride the link upstream (with phase 1
-    dispatched fire-and-forget behind them) while group k's features
-    ride it downstream — the legs overlap fully on the tunnel
-    (measured: tools/link_experiments.py 'duplex'), so steady-state
-    cost is the slowest leg, not the sum.  The tiny inter-phase
-    mark-count sync and the phase-2 dispatch live at the head of the
-    download stage, just before that group's own big `device_get` (a
-    separate compute stage made the sync queue behind the previous
-    group's download — a 30 ms sync became a download-sized stall).
-    Downloads are packed into one (B, F, D)
+    Schedule (utils/pipeline.py:run_staged, one thread per stage): while
+    group k's two device programs run, group k+1's signal rows ride the
+    link upstream and group k-1's packed feature tensor rides it
+    downstream — the three legs overlap fully on the tunnel (measured:
+    tools/link_experiments.py 'duplex'), so steady-state cost is the
+    slowest leg, not the sum.  Downloads are packed into one (B, F, D)
     f16 tensor + one (B, F, 2) f32 aux because one big transfer moves
     ~2x the MB/s of several small ones ('chunks' experiment).  Replaces
     the round-3 dispatch-chaining scheduler that ran at 29% of the link
@@ -736,30 +730,18 @@ def analysis_compressed_batch_async(signals: list, fs: int,
                     n_real=n_real, fc_max=fc_max)
 
     def upload(p):
-        """Upload thread: push the signal rows (the upstream leg) and
-        dispatch phase 1 (fire-and-forget — the tracker starts while the
-        next group uploads)."""
-        dev = _upload_signal_batch(p["host"], mesh)
+        """Upload thread: push the signal rows (the upstream leg)."""
+        p["dev"] = _upload_signal_batch(p["host"], mesh)
         del p["host"]
-        p["dev"] = dev
-        p["phase1"] = _run_kernel(
-            _track_place_kernel, _track_place_impl, mesh, dev,
-            dict(fs=fs, n_frames_max=p["Tmax"], m_max=p["m_max"]))
         return p
 
-    def download(p):
-        """Download thread: tiny mark-count sync, phase 2 dispatch at the
-        realised bucket, then the packed feature pull.
-
-        The mark-count sync lives HERE — immediately before this group's
-        own big `device_get` on the same (downstream) channel — rather
-        than on a separate compute thread: there it queues behind the
-        PREVIOUS group's feature download and stretches a 30 ms sync
-        into a download-sized stall, capping e2e at ~0.55 of the link
-        bound on fast-link windows (measured; phase-2 device time itself
-        is ~30 ms and hides inside the transfer)."""
+    def compute(p):
+        """Compute thread: phase 1, tiny mark-count sync, phase 2."""
         dev = p["dev"]
-        marks, flags, n_marks = p["phase1"]
+        marks, flags, n_marks = _run_kernel(
+            _track_place_kernel, _track_place_impl, mesh, dev,
+            dict(fs=fs, n_frames_max=p["Tmax"], m_max=p["m_max"]))
+        # the only inter-phase host transfer: (B,) mark counts.
         # geometric frame bucket: the realised count varies per chunk by
         # CONTENT, so linear bucketing would compile one variant per
         # 128-frame step
@@ -773,7 +755,11 @@ def analysis_compressed_batch_async(signals: list, fs: int,
                  alpha=alpha, alpha_phase=alpha_phase, fc_max=p["fc_max"],
                  feats_f16=feats_enc, pack=(p["fc_max"] == 0)))
         p["nm"] = nm
-        del p["dev"], p["phase1"]
+        del p["dev"]
+        return p
+
+    def download(p):
+        """Download thread: pull the packed features (downstream leg)."""
         nm, n_real = p["nm"], p["n_real"]
         out = []
         if p["fc_max"] == 0:
@@ -836,7 +822,7 @@ def analysis_compressed_batch_async(signals: list, fs: int,
 
     from ..utils.pipeline import run_staged
     groups = _split_for_budget(signals, fs, fft_len, mesh)
-    pipe = run_staged(map(prep, groups), [upload, download])
+    pipe = run_staged(map(prep, groups), [upload, compute, download])
 
     def finalize():
         out = []
