@@ -241,15 +241,20 @@ def cmd_generate(args) -> int:
     def read_batches(pend, unreadable):
         for i in range(0, len(pend), args.batch_size):
             chunk = pend[i:i + args.batch_size]
-            try:
-                utts = [read_utt_feats(t) for t in chunk]
-            except Exception:
-                # a missing/corrupt feature file must not tear down the
-                # pipeline: park the chunk for the chunk-isolating
-                # runner (which singleton-retries + crash-lists it)
-                unreadable.extend(chunk)
-                continue
-            yield utts, np.stack([key_of[t] for t in chunk]), chunk
+            # a missing/corrupt feature file must not tear down the
+            # pipeline NOR demote its healthy chunkmates: park only the
+            # failing token for the chunk-isolating runner (which
+            # singleton-retries + crash-lists it) and keep the rest on
+            # the fast path
+            utts, good = [], []
+            for t in chunk:
+                try:
+                    utts.append(read_utt_feats(t))
+                    good.append(t)
+                except Exception:
+                    unreadable.append(t)
+            if good:
+                yield utts, np.stack([key_of[t] for t in good]), good
 
     def consume(bufs, host):
         rows = np.asarray(jax.device_get(bufs))

@@ -367,9 +367,17 @@ def synthesis_batches_pipelined(batches, fs: int,
                                 mesh=None, pcm16: bool = False,
                                 transport: str = "f16",
                                 consume=None,
-                                det_fft_syn: bool = False):
+                                det_fft_syn: bool = True):
     """Threaded four-stage corpus synthesis: prepare -> upload -> execute
     -> download, one thread per stage (utils/pipeline.py:run_staged).
+
+    ``det_fft_syn`` defaults to True HERE (unlike the blocking entry):
+    this driver computes the adaptive synthesis-FFT geometry per
+    caller-supplied batch, so with an adaptive FFT the output would
+    depend on how the caller chunks batches.  Waveform parity with
+    synthesis_from_compressed_batch is guaranteed only when both sides
+    use the same det_fft_syn (or the content happens to land in the
+    same FFT bucket).
 
     ``batches``: iterable of (utts, keys[, tag]) with utts as in
     synthesis_from_compressed_batch, keys a (len(utts), 2) uint32

@@ -69,6 +69,7 @@ class run_staged:
 
     def __init__(self, items, stages, depth: int = 1):
         self._stages = list(stages)
+        self._consumed = False
         self._stop_evt = threading.Event()
         self._errors: list[BaseException] = []
         self._threads: list[threading.Thread] = []
@@ -123,6 +124,17 @@ class run_staged:
             t.start()
 
     def __iter__(self):
+        # single-shot: after the first iteration the queues are drained
+        # and the threads joined, so a second pass would silently yield
+        # nothing (and concurrent re-entry would interleave two
+        # consumers on one queue)
+        if self._consumed:
+            raise RuntimeError("run_staged pipelines are single-shot; "
+                               "construct a new one to re-run")
+        self._consumed = True
+        return self._iter()
+
+    def _iter(self):
         if self._out_q is None:
             yield from self._items
             return

@@ -228,3 +228,55 @@ def test_compressed_batch_const_rate_tracker_path():
     assert np.max(np.abs(mrm_h - mrm_b)) < 2.0 ** -10
     assert np.array_equal(lf0_h, lf0_b)
     assert np.array_equal(sh_h, sh_b)
+
+
+def test_lossless_batch_compact_silence_convention():
+    """Digitally-silent frames (mag == 0): the exact transport stores
+    (real, imag) = (0, 0); the int16-angle decode must reproduce that
+    convention instead of (cos 0, sin 0) = (1, 0), or saved feature
+    files diverge by 1.0 on silence (ADVICE r4)."""
+    sig = np.concatenate([_load("hvd_593")[:48000], np.zeros(24000)])
+    (mag_c, real_c, imag_c, _f0, _sh), = analysis_lossless_batch(
+        [sig], 48000, transport="compact")
+    z = mag_c == 0.0
+    assert z.any()              # the zero tail produced silent bins
+    assert np.all(real_c[z] == 0.0)
+    assert np.all(imag_c[z] == 0.0)
+
+
+def test_speculative_schedule_bitwise_matches_synced(monkeypatch):
+    """VERDICT r4 item 1: the speculative schedule (phase 2 dispatched at
+    the walk capacity m_max, mark counts fetched on the download thread)
+    must produce BITWISE the same features as the synced schedule (phase
+    2 at the realised frame bucket) — per-frame ops don't depend on the
+    padded frame count, and the device-side trim keeps the download at
+    the realised bucket either way."""
+    from magphase_tpu.parallel.analysis_batch import (
+        analysis_compressed_batch_async)
+
+    sigs = [_load("hvd_593"), _load("hvd_594")[:70000], _load("hvd_595")]
+
+    monkeypatch.setenv("MAGPHASE_ANALYSIS_SYNC", "1")
+    ref = analysis_compressed_batch_async(sigs, 48000,
+                                          feat_dtype=np.float32)()
+    monkeypatch.delenv("MAGPHASE_ANALYSIS_SYNC")
+    got = analysis_compressed_batch_async(sigs, 48000,
+                                          feat_dtype=np.float32)()
+    assert len(got) == len(ref) == 3
+    for (a, b, c, d, e), (a2, b2, c2, d2, e2) in zip(ref, got):
+        np.testing.assert_array_equal(a, a2)
+        np.testing.assert_array_equal(b, b2)
+        np.testing.assert_array_equal(c, c2)
+        np.testing.assert_array_equal(d, d2)
+        np.testing.assert_array_equal(e, e2)
+
+    # const-rate branch too (different phase-2 output geometry)
+    monkeypatch.setenv("MAGPHASE_ANALYSIS_SYNC", "1")
+    ref_c = analysis_compressed_batch_async(sigs[:2], 48000,
+                                            b_const_rate=True)()
+    monkeypatch.delenv("MAGPHASE_ANALYSIS_SYNC")
+    got_c = analysis_compressed_batch_async(sigs[:2], 48000,
+                                            b_const_rate=True)()
+    for r, g in zip(ref_c, got_c):
+        for x, y in zip(r, g):
+            np.testing.assert_array_equal(x, y)

@@ -245,3 +245,45 @@ def test_eval_command(workdir, capsys):
     assert rc == 0
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["mean_db"] == 0.0
+
+
+def test_generate_unreadable_parks_only_failing_token(tmp_path, monkeypatch):
+    """An unreadable feature file must park ONLY its own token: the
+    healthy chunkmates stay on the pipelined fast path (witness: the
+    fallback runner's batch synthesis is never invoked — the sole
+    parked token fails at read time before any synthesis)."""
+    import magphase_tpu.parallel.batch as pbatch
+
+    feats = tmp_path / "feats"
+    feats.mkdir()
+    src = os.path.join(DATA, "params_predicted")
+    toks = ["hvd_704", "hvd_705", "hvd_706"]
+    for t in toks:
+        for ext in (".mag", ".real", ".imag", ".lf0"):
+            shutil.copy(os.path.join(src, t + ext), feats / (t + ext))
+    with open(feats / "hvd_705.mag", "wb") as f:
+        f.write(b"\x00" * 37)
+    scp = tmp_path / "gen.scp"
+    scp.write_text("\n".join(toks) + "\n")
+    out = tmp_path / "wavs"
+    crash = tmp_path / "crash.scp"
+
+    calls = []
+    orig = pbatch.synthesis_from_compressed_batch
+
+    def spy(utts, *a, **kw):
+        calls.append(len(utts))
+        return orig(utts, *a, **kw)
+
+    monkeypatch.setattr(pbatch, "synthesis_from_compressed_batch", spy)
+    # one 3-token chunk: under chunk-granular parking ALL of it would
+    # demote to the fallback runner (= calls non-empty)
+    rc = cli_main(["generate", "--scp", str(scp), "--feats-dir",
+                   str(feats), "--out-dir", str(out), "--fs", "48000",
+                   "--batch-size", "3", "--pf-type", "no",
+                   "--crash-list", str(crash)])
+    assert rc == 1
+    assert (out / "hvd_704.wav").exists()
+    assert (out / "hvd_706.wav").exists()
+    assert crash.read_text().split() == ["hvd_705"]
+    assert calls == []          # fast path handled every readable token

@@ -65,3 +65,12 @@ def test_eager_start():
 def test_empty_stages_and_items():
     assert list(run_staged([1, 2], [])) == [1, 2]
     assert list(run_staged([], [lambda x: x])) == []
+
+
+def test_reiteration_raises():
+    """Pipelines are single-shot: a second iteration would silently
+    yield nothing (queues drained, threads joined) — it must raise."""
+    pipe = run_staged(range(5), [lambda x: x])
+    assert list(pipe) == list(range(5))
+    with pytest.raises(RuntimeError, match="single-shot"):
+        list(pipe)

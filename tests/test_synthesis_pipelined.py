@@ -30,7 +30,11 @@ def test_pipelined_matches_blocking_batch():
     key = jax.random.PRNGKey(11)
     keys = np.asarray(jax.random.split(key, len(utts)), np.uint32)
 
-    ref = synthesis_from_compressed_batch(utts, FS, key=key)
+    # det_fft_syn on BOTH sides: the pipelined driver defaults to the
+    # batch-composition-independent FFT, and parity with the blocking
+    # entry is only guaranteed under a matching choice
+    ref = synthesis_from_compressed_batch(utts, FS, key=key,
+                                          det_fft_syn=True)
 
     got = []
     for group in synthesis_batches_pipelined(
@@ -49,7 +53,7 @@ def test_pipelined_pcm16_consume():
                       np.uint32)
     bufs_ref, lens_ref = synthesis_from_compressed_batch(
         utts, FS, key=jax.random.PRNGKey(0), block_result=False,
-        pcm16=True)
+        pcm16=True, det_fft_syn=True)
     rows_ref = np.asarray(jax.device_get(bufs_ref))
 
     got = []
