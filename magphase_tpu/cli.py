@@ -11,6 +11,8 @@ Usage:
       --pf-type magphase --const-rate --batch-size 16]
   python -m magphase_tpu.cli convert-labels --scp file_id.scp \
       --shift-dir feats --lab-dir labs --out-dir labs_var
+  python -m magphase_tpu.cli serve --socket /tmp/mp.sock   # daemon
+  python -m magphase_tpu.cli generate ... --server /tmp/mp.sock
 """
 from __future__ import annotations
 
@@ -35,18 +37,28 @@ def _distributed_setup():
     maybe_initialize_distributed()
 
 
-def _host_partition(tokens):
+def _host_partition(tokens, weights_fn=None):
     """Multi-host corpus runs: this process's token shard + a per-host
     manifest file name (hosts share the output dir; per-utterance writes
     are disjoint but the manifest must not be contended).  Applies
     whenever the process group is initialised, independent of the
-    device-sharding flag."""
+    device-sharding flag.
+
+    ``weights_fn() -> list[float]``: optional per-token audio durations,
+    evaluated only on multi-host runs (it may stat/read every feature
+    file) — enables LPT duration balancing in partition_tokens."""
     import jax
     n = jax.process_count()
     if n <= 1:
         return tokens, ".magphase_manifest.json"
     from .parallel.mesh import partition_tokens
-    return (partition_tokens(tokens),
+    weights = None
+    if weights_fn is not None:
+        try:
+            weights = weights_fn()
+        except Exception:
+            weights = None          # unreadable sizes: fall back to RR
+    return (partition_tokens(tokens, weights=weights),
             f".magphase_manifest.p{jax.process_index()}.json")
 
 
@@ -81,21 +93,29 @@ def cmd_extract(args) -> int:
     config = {"mag_dim": args.mag_dim, "phase_dim": args.phase_dim,
               "const_rate": args.const_rate}
 
+    info = None
     if args.batch_size > 1 and not args.no_sort:
         # length-sorted batching: homogeneous chunks hit one compiled
         # program variant and minimise padding (features are
         # per-utterance deterministic, so ordering is free to change)
         try:
-            lens = {t: read_wav_info(
-                os.path.join(args.wav_dir, t + ".wav"))[0] for t in tokens}
-            tokens = sorted(tokens, key=lambda t: lens[t])
+            info = {t: read_wav_info(
+                os.path.join(args.wav_dir, t + ".wav")) for t in tokens}
+            tokens = sorted(tokens, key=lambda t: info[t][0])
         except Exception:
             # unreadable/corrupt files surface later, where crash-list
             # isolation applies per utterance (read_wav_info can raise
             # ValueError/struct.error, not just OSError)
-            pass
+            info = None
 
-    tokens, manifest_name = _host_partition(tokens)
+    def wav_seconds():
+        """Per-token audio seconds for duration-balanced host shards."""
+        d = info if info is not None else {
+            t: read_wav_info(os.path.join(args.wav_dir, t + ".wav"))
+            for t in tokens}
+        return [d[t][0] / d[t][1] for t in tokens]
+
+    tokens, manifest_name = _host_partition(tokens, wav_seconds)
     if args.batch_size > 1:
         mesh = _maybe_mesh(args.data_parallel)
         # device-batched production path: two fused programs per chunk
@@ -194,7 +214,23 @@ def cmd_generate(args) -> int:
               "const_rate": args.const_rate, "seed": args.seed,
               "hpf": not args.no_hpf, "transport": args.transport}
     mesh = _maybe_mesh(args.data_parallel)
-    tokens, manifest_name = _host_partition(tokens)
+
+    def feat_seconds():
+        """Per-token audio seconds from the feature files: exact from
+        .shift (sum of per-frame hops / fs); const-rate features carry
+        no .shift but sit on the exact 5 ms grid (frames x 5 ms)."""
+        ws = []
+        for t in tokens:
+            p = os.path.join(args.feats_dir, t + ".shift")
+            if os.path.exists(p):
+                ws.append(float(np.sum(read_binfile(p, 1))) / args.fs)
+            else:
+                nfrm = os.path.getsize(
+                    os.path.join(args.feats_dir, t + ".lf0")) // 4
+                ws.append(nfrm * 5.0e-3)
+        return ws
+
+    tokens, manifest_name = _host_partition(tokens, feat_seconds)
 
     def read_utt_feats(tok):
         d = args.feats_dir
@@ -391,7 +427,36 @@ def cmd_convert_labels(args) -> int:
     return 1 if res.failed else 0
 
 
+def cmd_serve(args) -> int:
+    """Persistent daemon: warm jit caches across requests (serve.py)."""
+    from .serve import request, serve_forever
+
+    if args.shutdown:
+        return request(args.socket, shutdown=True)
+    from .utils.metrics import setup_logging
+    setup_logging()
+
+    def ready():
+        print(f"magphase_tpu serving on {args.socket}", flush=True)
+
+    return serve_forever(args.socket, ready_cb=ready)
+
+
 def main(argv=None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    argv = list(argv)
+    # `--server SOCK` on any subcommand forwards the invocation to a
+    # running `cli serve` daemon (warm jit caches — skips the ~8 s
+    # per-process jax init + trace + compile-cache load)
+    if "--server" in argv and (not argv or argv[0] != "serve"):
+        i = argv.index("--server")
+        if i + 1 >= len(argv):
+            sys.stderr.write("--server requires a socket path\n")
+            return 2
+        from .serve import request
+        return request(argv[i + 1], argv[:i] + argv[i + 2:])
+
     p = argparse.ArgumentParser(prog="magphase_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -445,6 +510,14 @@ def main(argv=None) -> int:
     pc.add_argument("--lab-dir", required=True)
     pc.add_argument("--fs", type=int, default=48000)
     pc.set_defaults(fn=cmd_convert_labels)
+
+    ps = sub.add_parser("serve", help="persistent daemon: run corpus "
+                        "commands with warm jit caches (--server SOCK on "
+                        "any subcommand forwards to it)")
+    ps.add_argument("--socket", required=True, help="Unix socket path")
+    ps.add_argument("--shutdown", action="store_true",
+                    help="stop a running daemon instead of starting one")
+    ps.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -220,7 +220,7 @@ def _trim_frames(arrs, *, n: int):
 
 def _fused_track_lossless_impl(sigs, n_sigs, n_frames, *, fs: int,
                                  n_frames_max: int, m_max: int,
-                                 fft_len: int, compact: bool = False):
+                                 fft_len: int, transport: str = "f32"):
     """Tracking + epoch placement + lossless analysis in ONE device program.
 
     Replaces the reference's REAPER-subprocess-then-analyse sequence
@@ -228,11 +228,21 @@ def _fused_track_lossless_impl(sigs, n_sigs, n_frames, *, fs: int,
     host epoch walk needs (6.5 MB/10-utt-batch over the host link); only
     the feature tensors and the tiny mark arrays leave the device.
 
-    ``compact``: encode the phasor as an int16 angle (2 B/bin; host
-    reconstructs real=cos, imag=sin) so the dominant full-resolution
-    feature download halves — mag stays float32 because f16 mag alone
-    breaks the sub-PCM16 copy-synthesis budget (measured p99 8.8e-5 vs
-    the 2^-15 = 3.05e-5 gate; f32 mag + int16 angle lands at 1.1e-5).
+    ``transport`` — host-link encoding of the full-resolution features
+    (the dominant download of lossless corpus extraction):
+      * 'f32': exact (12 B/bin: mag, real, imag float32).
+      * 'compact': phasor as an int16 angle (6 B/bin; host reconstructs
+        real=cos, imag=sin).  Mag stays float32 because f16 mag alone
+        breaks the sub-PCM16 copy-synthesis budget (measured p99 8.8e-5
+        vs the 2^-15 = 3.05e-5 gate; f32 mag + int16 angle: 1.1e-5).
+      * 'compact16': 'compact' + per-(utterance, bin) affine uint16 mag
+        over valid frames (4 B/bin, 3x under f32).  Unlike f16 (relative
+        ~4.9e-4 everywhere) the affine step is ABSOLUTE at bin-peak /
+        65535 ~= 1.5e-5 relative to the bin's loudest frame — the frames
+        that carry the synthesis energy — so the waveform budget holds
+        (gated in tests/test_analysis_batch.py; VERDICT r4 item 4).
+        Frame-axis outputs come first so the download trim stays
+        uniform; (scale, lo) is frameless.
     """
     from ..vocoder.lossless import analysis_core_batch
 
@@ -242,17 +252,31 @@ def _fused_track_lossless_impl(sigs, n_sigs, n_frames, *, fs: int,
         m_max=m_max)
     mag, real, imag, _f0, shift = analysis_core_batch(
         sigs, marks, n_marks, n_sigs, flags, fft_len=fft_len, fs=fs)
-    if compact:
+    if transport in ("compact", "compact16"):
         ang = jnp.arctan2(imag, real)
         ang_i16 = jnp.clip(jnp.rint(ang * jnp.float32(32768.0 / np.pi)),
                            -32768, 32767).astype(jnp.int16)
+        if transport == "compact16":
+            F = mag.shape[1]
+            valid = (jnp.arange(F)[None, :, None]
+                     < n_marks[:, None, None])
+            big = jnp.float32(3.0e38)
+            lo = jnp.min(jnp.where(valid, mag, big), axis=1)
+            hi = jnp.max(jnp.where(valid, mag, -big), axis=1)
+            lo = jnp.minimum(lo, hi)
+            scale = jnp.where(hi > lo, (hi - lo) / 65535.0, 1.0)
+            q = jnp.clip(jnp.rint((mag - lo[:, None, :])
+                                  / scale[:, None, :]), 0, 65535
+                         ).astype(jnp.uint16)
+            return (q, ang_i16, shift, flags,
+                    jnp.stack([scale, lo], axis=1), n_marks)
         return mag, ang_i16, shift, flags, n_marks
     return mag, real, imag, shift, flags, n_marks
 
 
 _fused_track_lossless_kernel = functools.partial(
     jax.jit, static_argnames=("fs", "n_frames_max", "m_max", "fft_len",
-                              "compact"))(_fused_track_lossless_impl)
+                              "transport"))(_fused_track_lossless_impl)
 
 
 def _compressed_rfft_mode() -> str:
@@ -413,10 +437,13 @@ def analysis_lossless_batch(signals: list, fs: int,
 
     ``epochs``: optional list of (pm_sec, voi) overriding the tracker.
     ``mesh``: optional 1-D data mesh; the batch axis is sharded over it.
-    ``transport`` (tracker path): 'f32' (exact) or 'compact' — phasor as
-    int16 angle over the host link, halving the dominant full-resolution
-    feature download; reconstruction stays inside the sub-PCM16
-    copy-synthesis budget (gated in tests/test_analysis_batch.py).
+    ``transport`` (tracker path): 'f32' (exact), 'compact' (phasor as
+    int16 angle over the host link — half the download bytes) or
+    'compact16' (additionally uint16-affine mag per (utterance, bin) —
+    a third of f32).  Both compressed encodings stay inside the
+    sub-PCM16 copy-synthesis budget (gated in
+    tests/test_analysis_batch.py); the on-disk float32 feature contract
+    (libutils.py:112-127) is unchanged — only the link encoding differs.
     """
     if fft_len is None:
         fft_len = define_fft_len(fs)
@@ -427,7 +454,8 @@ def analysis_lossless_batch(signals: list, fs: int,
         # upload / compute / download legs run on separate threads
         # (utils/pipeline.py) so the link works both directions while
         # the device computes
-        compact = transport == "compact"
+        if transport not in ("f32", "compact", "compact16"):
+            raise ValueError(f"unknown transport {transport!r}")
 
         def prep(group):
             signals_g, host, S, Tmax, m_max, n_real = _host_signal_batch(
@@ -449,7 +477,7 @@ def analysis_lossless_batch(signals: list, fs: int,
                 _fused_track_lossless_kernel, _fused_track_lossless_impl,
                 mesh, p["dev"], dict(fs=fs, n_frames_max=p["Tmax"],
                                      m_max=p["m_max"], fft_len=fft_len,
-                                     compact=compact))
+                                     transport=transport))
             try:
                 out[-1].copy_to_host_async()
             except Exception:
@@ -464,13 +492,28 @@ def analysis_lossless_batch(signals: list, fs: int,
             Fa = min(p["m_max"], bucket(int(nm.max()), FRM_STEP))
             # device-side trim to the realised bucket: the (transfer-
             # bound) full-resolution download moves only real frames
-            p["out"] = _trim_frames(tuple(out_full[:-1]), n=Fa)
+            # (compact16's (scale, lo) operand has no frame axis)
+            n_frame_axis = 4 if transport == "compact16" else \
+                len(out_full) - 1
+            p["out"] = (_trim_frames(tuple(out_full[:n_frame_axis]),
+                                     n=Fa)
+                        + tuple(out_full[n_frame_axis:-1]))
             n_real = p["n_real"]
             out = []
-            if compact:
-                mag, ang, shift, flags = jax.device_get(p["out"])
+            if transport in ("compact", "compact16"):
+                got = jax.device_get(p["out"])
+                if transport == "compact16":
+                    q16, ang, shift, flags, scale_lo = got
+                else:
+                    mag_f32, ang, shift, flags = got
                 for b in range(n_real):
                     n = int(nm[b])
+                    if transport == "compact16":
+                        mag_b = (q16[b, :n].astype(np.float64)
+                                 * scale_lo[b, 0] + scale_lo[b, 1]
+                                 ).astype(np.float32)
+                    else:
+                        mag_b = mag_f32[b, :n]
                     a = ang[b, :n].astype(np.float64) * (np.pi / 32768.0)
                     sh = shift[b, :n].astype(np.int64)
                     f0 = (flags[b, :n].astype(np.float64) * fs /
@@ -479,8 +522,8 @@ def analysis_lossless_batch(signals: list, fs: int,
                     # (real, imag) = (0, 0) (lossless.py:63-65); the
                     # angle decode would yield (cos 0, sin 0) = (1, 0),
                     # diverging saved feature files by 1.0 there
-                    nz = mag[b, :n] > 0.0
-                    out.append((mag[b, :n],
+                    nz = mag_b > 0.0
+                    out.append((mag_b,
                                 np.where(nz, np.cos(a), 0.0
                                          ).astype(np.float32),
                                 np.where(nz, np.sin(a), 0.0

@@ -107,20 +107,49 @@ def budget_batch_cap(mesh: Mesh | None, max_b: int, base: int = 8) -> int:
 
 
 def partition_tokens(tokens, process_index: int | None = None,
-                     process_count: int | None = None):
-    """This host's share of a corpus token list (round-robin).
+                     process_count: int | None = None, weights=None):
+    """This host's share of a corpus token list.
 
     Corpus work is embarrassingly parallel per utterance, so multi-host
     runs partition TOKENS across processes (each host batching over its
     local devices) instead of coordinating one global array — the
     reference's Pool-over-utterances (libutils.py:32-63) generalised to
-    hosts.  Round-robin keeps length-sorted order roughly balanced."""
+    hosts.
+
+    ``weights``: optional per-token durations (audio seconds, or any
+    proportional cost).  When given, tokens are assigned greedy
+    longest-first to the least-loaded host (LPT bin packing) — the
+    static analogue of Pool's dynamic self-balancing (libutils.py:61);
+    measured min/max per-host audio >= 0.9 at 2 and 4 hosts on the demo
+    corpus vs 0.64 for round-robin (SCALING.md).  Without weights:
+    round-robin.  Deterministic either way, and every host computes the
+    same global assignment from the same scp, so shards are always a
+    disjoint cover; per-utterance noise keys derive from the GLOBAL scp
+    index, so partitioning never changes any output byte.  This host's
+    tokens are returned in original scp order."""
     if process_count is None:
         process_count = jax.process_count()
         process_index = jax.process_index()
     if process_count <= 1:
         return list(tokens)
-    return list(tokens)[process_index::process_count]
+    tokens = list(tokens)
+    if weights is None:
+        return tokens[process_index::process_count]
+    if len(weights) != len(tokens):
+        raise ValueError(f"weights length {len(weights)} != "
+                         f"tokens length {len(tokens)}")
+    # LPT: heaviest first, each onto the least-loaded host; ties broken
+    # by (load, host_index) and by original index within equal weights,
+    # so the assignment is identical on every host
+    order = sorted(range(len(tokens)), key=lambda i: (-float(weights[i]), i))
+    loads = [0.0] * process_count
+    mine = []
+    for i in order:
+        h = min(range(process_count), key=lambda j: (loads[j], j))
+        loads[h] += float(weights[i])
+        if h == process_index:
+            mine.append(i)
+    return [tokens[i] for i in sorted(mine)]
 
 
 def maybe_initialize_distributed() -> None:

@@ -280,3 +280,35 @@ def test_speculative_schedule_bitwise_matches_synced(monkeypatch):
     for r, g in zip(ref_c, got_c):
         for x, y in zip(r, g):
             np.testing.assert_array_equal(x, y)
+
+
+def test_lossless_batch_compact16_transport_gate():
+    """'compact16' transport (uint16-affine mag + int16 phase angle —
+    a third of the f32 download bytes) must stay inside the sub-PCM16
+    copy-synthesis budget (VERDICT r4 item 4).  Contrast: f16 mag alone
+    FAILS this gate (measured p99 8.8e-5 vs the 2^-15 = 3.05e-5 PCM16
+    step) because its error is relative everywhere; the affine step is
+    absolute at bin-peak/65535, so the energy-carrying frames quantise
+    ~30x finer."""
+    from magphase_tpu.vocoder import synthesis_from_lossless
+
+    sig = _load("hvd_593")
+    (mag_c, real_c, imag_c, f0_c, sh_c), = analysis_lossless_batch(
+        [sig], 48000, transport="compact16")
+    (mag_f, real_f, imag_f, f0_f, sh_f), = analysis_lossless_batch(
+        [sig], 48000)
+    np.testing.assert_array_equal(sh_c, sh_f)
+    np.testing.assert_array_equal(f0_c, f0_f)
+    # per-bin absolute quantisation bound: scale/2 = range/(2*65535)
+    rng = mag_f.max(axis=0) - mag_f.min(axis=0)
+    assert np.all(np.abs(mag_c - mag_f) <= rng[None, :] / 65535.0 + 1e-7)
+    assert np.max(np.abs(real_c - real_f)) < 3e-4
+    assert np.max(np.abs(imag_c - imag_f)) < 3e-4
+
+    syn = synthesis_from_lossless(mag_c.astype(np.float64),
+                                  real_c.astype(np.float64),
+                                  imag_c.astype(np.float64), f0_c, 48000)
+    n = min(len(syn), len(sig))
+    err = np.abs(syn[2000:n - 2000] - sig[2000:n - 2000])
+    assert float(np.percentile(err, 99)) < 2.0 ** -15
+    assert float(err.max()) < 2.0 ** -14

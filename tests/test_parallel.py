@@ -159,3 +159,37 @@ def test_budget_batch_cap_invariant():
             assert cap % size == 0           # even sharding
             for n in range(1, cap + 1):
                 assert bucket(n, capped_batch_step(m, cap)) <= cap
+
+
+def test_partition_tokens_duration_balanced():
+    """LPT duration balancing (VERDICT r4 item 6): disjoint cover,
+    scp-order within a shard, deterministic across hosts, and min/max
+    per-host audio >= 0.9 on a skewed duration distribution where
+    round-robin lands at ~0.6."""
+    from magphase_tpu.parallel.mesh import partition_tokens
+
+    rng = np.random.RandomState(7)
+    toks = [f"utt{i:03d}" for i in range(24)]
+    w = (1.0 + 9.0 * rng.rand(24)).tolist()
+
+    for n in (2, 4):
+        shards = [partition_tokens(toks, i, n, weights=w)
+                  for i in range(n)]
+        # disjoint cover
+        flat = sorted(t for s in shards for t in s)
+        assert flat == sorted(toks)
+        # scp order within each shard
+        for s in shards:
+            assert s == sorted(s, key=toks.index)
+        # balance: >= 0.9 on a 24-utterance skewed corpus, and strictly
+        # better than round-robin (10-item corner cases can dip to ~0.89
+        # — LPT's intrinsic limit with few chunky items)
+        loads = [sum(w[toks.index(t)] for t in s) for s in shards]
+        rr = [sum(w[toks.index(t)] for t in toks[i::n]) for i in range(n)]
+        assert min(loads) / max(loads) >= 0.9, (n, loads)
+        assert min(loads) / max(loads) > min(rr) / max(rr), (n, loads, rr)
+
+    # weight list must align with tokens
+    import pytest
+    with pytest.raises(ValueError):
+        partition_tokens(toks, 0, 2, weights=w[:-1])

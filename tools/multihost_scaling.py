@@ -31,7 +31,10 @@ sys.path.insert(0, REPO)
 
 DATA = "/root/reference/demos/data_48k/wavs_nat"
 FS = 16000
-N_UTTS = 10
+N_UTTS = 20          # 10 demo wavs cycled at varied trims: realistic
+                     # duration SPREAD so the LPT duration balancing has
+                     # something to balance (10 near-equal utterances
+                     # cap 4-host balance at ~0.67 by count alone)
 
 _WRAP = ("import sys, json; sys.path.insert(0, {repo!r}); "
          "import jax; jax.config.update('jax_platforms', 'cpu'); "
@@ -47,10 +50,17 @@ def _make_corpus(root):
     os.makedirs(wav_dir, exist_ok=True)
     toks = []
     total_audio = 0.0
-    for w in sorted(glob.glob(f"{DATA}/*.wav"))[:N_UTTS]:
-        tok = os.path.basename(w)[:-4]
+    wavs = sorted(glob.glob(f"{DATA}/*.wav"))
+    for i in range(N_UTTS):
+        w = wavs[i % len(wavs)]
+        tok = os.path.basename(w)[:-4] + (f"_c{i // len(wavs)}"
+                                          if i >= len(wavs) else "")
         sig, fs = read_wav(w)
         sig16 = sp.resample_poly(sig, 1, 3)
+        # deterministic varied trims (0.4x..1.0x): a realistic duration
+        # spread for the duration-balanced partitioner
+        keep = int(len(sig16) * (0.4 + 0.6 * ((i * 7) % N_UTTS) / N_UTTS))
+        sig16 = sig16[:max(keep, FS // 2)]
         write_wav(os.path.join(wav_dir, tok + ".wav"), sig16, FS)
         total_audio += len(sig16) / FS
         toks.append(tok)
@@ -189,7 +199,10 @@ def main(out_md=os.path.join(REPO, "SCALING.md")):
         "depends on which utterances share a batch or a host.  Gated "
         "continuously by `tests/test_multihost_corpus.py`.",
         "2. **Disjoint balanced partitions.** Each host writes its own "
-        "manifest over a round-robin token shard; shards are disjoint, "
+        "manifest over a duration-balanced token shard (greedy "
+        "longest-first LPT over per-utterance audio seconds, "
+        "`parallel/mesh.py:partition_tokens` — the static analogue of "
+        "Pool's dynamic self-balancing); shards are disjoint, "
         "cover the corpus, and carry near-equal audio seconds (the "
         "`balance` column = min/max per-host audio).",
         "3. **Fault-isolated resume.** Per-host manifests mean a host "
