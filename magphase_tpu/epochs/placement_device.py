@@ -17,7 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.padding import bucket
-from .tracker import FRAME_STEP_S, FS_ANALYSIS
+from .tracker import (FRAME_STEP_S, FS_ANALYSIS, SNAP_HALF_ONSET,
+                      SNAP_HALF_RUN, SNAP_ONSET_MARKS)
 
 _WALK_UNROLL = 8          # walk-body copies per while_loop iteration
                           # (tools/walk_bench.py sweep on v5e: 2:13.0ms
@@ -27,11 +28,12 @@ _WALK_UNROLL = 8          # walk-body copies per while_loop iteration
 def _snap_win(fs: int) -> int:
     """Trough-search slice width for the voiced snap.
 
-    The searched span is [t+0.7p, t+1.3p), at most 0.6*p_max + 2 samples
-    with p_max = fs/F0_MIN (the kernel clips the period there) — 640 at
-    48 kHz, 256 at 16 kHz.  Sizing by fs instead of a fixed 1280 halves
-    the per-mark argmin work at 48 kHz."""
-    return bucket(int(np.ceil(0.6 * fs / 50.0)) + 2, 128)
+    The widest searched span is the onset window [t+(1-h)p, t+(1+h)p)
+    with h = SNAP_HALF_ONSET: at most 2h*p_max + 2 samples with
+    p_max = fs/F0_MIN (the kernel clips the period there) — 674 at
+    48 kHz, 226 at 16 kHz.  Sizing by fs instead of a fixed maximum
+    halves the per-mark argmin work at 48 kHz."""
+    return bucket(int(np.ceil(2 * SNAP_HALF_ONSET * fs / 50.0)) + 2, 128)
 
 
 def placement_m_max(n_pad_sig: int, fs: int, frm_step: int = 128) -> int:
@@ -70,7 +72,7 @@ def place_epochs_kernel(y_snap, f0, voiced, n_sig, n_frames=None, *,
     snap_w = _snap_win(fs)
 
     def body(carry):
-        t, n_marks, done, marks, flags = carry
+        t, n_marks, run_len, done, marks, flags = carry
         # t is an INT32 sample position: marks are integers, and float32
         # positions lose sample precision past 2^24 (~350 s at 48 kHz)
         fr = jnp.clip((t.astype(jnp.float32) / step).astype(jnp.int32), 0,
@@ -81,10 +83,17 @@ def place_epochs_kernel(y_snap, f0, voiced, n_sig, n_frames=None, *,
         # the tracker guarantees f0 >= F0_MIN (lag <= fs_a/F0_MIN); clip
         # so an out-of-contract f0 cannot outrun the snap slice
         period = jnp.minimum(period, fs / 50.0)
+        # two-phase snap window (tracker.py SNAP_* rationale): wide
+        # re-anchoring for the first marks of a voiced run, narrow after
+        wide = run_len < SNAP_ONSET_MARKS
+        lo_mult = jnp.where(wide, jnp.float32(1.0 - SNAP_HALF_ONSET),
+                            jnp.float32(1.0 - SNAP_HALF_RUN))
+        hi_mult = jnp.where(wide, jnp.float32(1.0 + SNAP_HALF_ONSET),
+                            jnp.float32(1.0 + SNAP_HALF_RUN))
         # host arithmetic: int(t + x) == t + floor(x) for integer t, x>=0 —
         # keeping t integral makes the window bounds exact at any length
-        p_lo = jnp.floor(0.7 * period).astype(jnp.int32)
-        p_hi = jnp.floor(1.3 * period).astype(jnp.int32)
+        p_lo = jnp.floor(lo_mult * period).astype(jnp.int32)
+        p_hi = jnp.floor(hi_mult * period).astype(jnp.int32)
         lo = t + p_lo
         # window end clips to the REAL signal end (host walk semantics:
         # tracker.place_epochs hi = min(n-1, ...)), not the padded length —
@@ -123,9 +132,11 @@ def place_epochs_kernel(y_snap, f0, voiced, n_sig, n_frames=None, *,
         flags = jnp.where(ok, flags.at[n_marks].set(
             is_voi.astype(jnp.float32)), flags)
         n_marks = jnp.where(ok, n_marks + 1, n_marks)
+        run_len = jnp.where(ok & is_voi, run_len + 1,
+                            jnp.where(ok, 0, run_len))
         done = done | ~ok
         t = jnp.where(ok, nxt, t)
-        return (t, n_marks, done, marks, flags)
+        return (t, n_marks, run_len, done, marks, flags)
 
     # while_loop, not fori_loop over m_max: capacity is sized for the
     # worst case (400 marks/s) but real speech places far fewer marks —
@@ -137,16 +148,17 @@ def place_epochs_kernel(y_snap, f0, voiced, n_sig, n_frames=None, *,
     # latency-bound loop on TPU.  `done` makes extra body copies no-ops,
     # so the unroll never overruns.
     def cond(carry):
-        return ~carry[2]
+        return ~carry[3]
 
     def wbody(carry):
         for _ in range(_WALK_UNROLL):
             carry = body(carry)
         return carry
 
-    init = (jnp.int32(0), jnp.int32(0), jnp.bool_(False),
+    init = (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.bool_(False),
             jnp.zeros(m_max, jnp.int32), jnp.zeros(m_max, jnp.float32))
-    (_, n_marks, _, marks, flags) = jax.lax.while_loop(cond, wbody, init)
+    (_, n_marks, _, _, marks, flags) = jax.lax.while_loop(cond, wbody,
+                                                          init)
     return marks, flags, n_marks
 
 
@@ -158,7 +170,8 @@ def _track_one(sig, n_frames, *, fs: int, n_frames_max: int):
     fs_a, _dec = tracker.analysis_rate(fs)
     xa, y_snap = tracker._preprocess(sig, fs=fs)
     nccf, valid = tracker._nccf(xa, n_frames, n_frames_max=n_frames_max,
-                                fs_a=fs_a)
+                                fs_a=fs_a,
+                                whiten=tracker.nccf_whiten_mode())
     vals, lags = tracker._candidates(nccf)
     states = tracker._viterbi(vals, lags, valid, fs_a=fs_a)
 

@@ -28,6 +28,7 @@ mark before the last sample.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -59,6 +60,21 @@ UV_LOCAL = 0.35        # local cost of the unvoiced state
 VUV_COST = 0.20        # voicing transition cost
 TRANS_W = 0.60         # cost per |log2| octave of f0 movement
 LAG_BIAS = 0.05        # slight preference for shorter lags (anti-octave)
+
+# Epoch-snap window geometry (VERDICT r4 item 5, measured in
+# tools/tracker_robustness.py over 7 stimulus contours x 3 stimulus
+# seeds x {clean, snr10, rvb0.2, snr20+rvb0.15, snr10+rvb0.2}):
+# the r4 reverb GPE (8.5%) came from the +-30% trough search jumping to
+# reflection troughs ~+-25% off the predicted position.  A NARROW +-15%
+# in-run window excludes them structurally (GPE tolerance is 20%), and
+# the first SNAP_ONSET_MARKS marks of each voiced run keep a WIDE +-35%
+# re-anchoring window so every run locks onto the same global waveform
+# landmark (narrow-only walks froze the onset phase per run: GCI hit
+# 0.49 on multi-run stimuli).  Result: worst-case GPE 17%->0.0% and
+# worst-case GCI hit 0.62->0.84 across all 45 cells vs the old +-30%.
+SNAP_HALF_RUN = 0.15
+SNAP_HALF_ONSET = 0.35
+SNAP_ONSET_MARKS = 4
 
 
 @functools.lru_cache(maxsize=8)
@@ -143,12 +159,28 @@ def _preprocess(sig: jnp.ndarray, *, fs: int):
     return xa, y_snap
 
 
-@functools.partial(jax.jit, static_argnames=("n_frames_max", "fs_a"))
+def nccf_whiten_mode() -> str:
+    """Segment pre-whitening before correlation (A/B knob).
+
+    'none' (default): raw NCCF.  Measured (tools/tracker_robustness.py):
+    centre clipping ('clipNN', Sondhi/Rabiner) does NOT help the reverb
+    envelope here — the r4 reverb GPE turned out to live in epoch
+    PLACEMENT, not the correlation (the f0 track is clean under RT60
+    0.2 s; see place_epochs' prediction-penalised snap) — and clip30+
+    breaks high-f0 stimuli outright (350 Hz reverb GPE 1.0: with ~3 ms
+    periods the clip threshold rides the strongest reflection, not the
+    pulse).  Kept as an experiment knob; 'cube' likewise."""
+    return os.environ.get("MAGPHASE_TRACKER_WHITEN", "none")
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_frames_max", "fs_a", "whiten"))
 def _nccf(xa: jnp.ndarray, n_frames: jnp.ndarray, *, n_frames_max: int,
-          fs_a: float = FS_ANALYSIS):
+          fs_a: float = FS_ANALYSIS, whiten: str = "none"):
     """NCCF for all frames at once.
 
     xa: analysis-rate signal (padded).  Returns (nccf[T,L+1], valid[T]).
+    ``whiten``: see nccf_whiten_mode.
     """
     step = int(round(FRAME_STEP_S * fs_a))          # 80
     w = int(round(CORR_WIN_S * fs_a))               # 120
@@ -178,6 +210,18 @@ def _nccf(xa: jnp.ndarray, n_frames: jnp.ndarray, *, n_frames_max: int,
         [xa, jnp.zeros(pad, xa.dtype)])[:need].reshape(-1, step)
     seg = jnp.concatenate(
         [xa_r[j:j + n_frames_max] for j in range(nj)], axis=1)[:, :seg_len]
+
+    if whiten.startswith("clip"):
+        # soft centre clipping per segment: removes the low-level
+        # (reverb-tail / formant-ringing) samples from the correlation
+        # while the glottal-pulse peaks pass through
+        c = float(whiten[4:]) / 100.0
+        m = jnp.max(jnp.abs(seg), axis=1, keepdims=True)
+        seg = jnp.sign(seg) * jnp.maximum(jnp.abs(seg) - c * m, 0.0)
+    elif whiten == "cube":
+        seg = seg * seg * seg
+    elif whiten != "none":
+        raise ValueError(f"unknown whiten mode {whiten!r}")
 
     a = jnp.where(jnp.arange(seg_len)[None, :] < w, seg, 0.0)
     A = jnp.fft.rfft(a, n=nfft)
@@ -314,7 +358,7 @@ def track_f0(v_sig: np.ndarray, fs: int):
     Tmax = bucket(n_frames, 128)
 
     nccf, valid = _nccf(xa, jnp.int32(n_frames), n_frames_max=Tmax,
-                        fs_a=fs_a)
+                        fs_a=fs_a, whiten=nccf_whiten_mode())
     vals, lags = _candidates(nccf)
     states = _viterbi(vals, lags, valid, fs_a=fs_a)
 
@@ -340,10 +384,14 @@ def place_epochs(v_sig: np.ndarray, fs: int, f0: np.ndarray,
                  frame_step_s: float = FRAME_STEP_S):
     """Period-integrating epoch placement with trough snapping (host).
 
-    Voiced regions: marks advance by the local period, each snapped to the
-    minimum of the 800 Hz low-passed waveform within +-30% of a period
-    (consistent GCI-adjacent placement).  Unvoiced: every 5 ms (REAPER
-    ``-u 0.005`` behaviour, libaudio.py:453).
+    Voiced regions: marks advance by the local period, each snapped to
+    the minimum of the 800 Hz low-passed waveform within a window around
+    the predicted position — +-SNAP_HALF_ONSET of a period for the first
+    SNAP_ONSET_MARKS marks of a run (re-anchoring onto the consistent
+    waveform landmark), +-SNAP_HALF_RUN after (narrow: reverb-reflection
+    troughs ~+-25% off cannot capture the walk; see the constants'
+    rationale above).  Unvoiced: every 5 ms (REAPER ``-u 0.005``
+    behaviour, libaudio.py:453).
     """
     n = len(v_sig)
     T = len(f0)
@@ -356,21 +404,25 @@ def place_epochs(v_sig: np.ndarray, fs: int, f0: np.ndarray,
     marks = []
     flags = []
     t = 0.0
+    run_len = 0
     # start: if first frame voiced, snap the first mark inside one period
     while t < n - 1:
         fr = frame_of(t)
         if voiced[fr] and f0[fr] > 0:
             period = fs / f0[fr]
-            lo = int(max(0, t + 0.7 * period))
-            hi = int(min(n - 1, t + 1.3 * period))
+            half = (SNAP_HALF_ONSET if run_len < SNAP_ONSET_MARKS
+                    else SNAP_HALF_RUN)
+            lo = int(max(0, t + (1.0 - half) * period))
+            hi = int(min(n - 1, t + (1.0 + half) * period))
             if hi <= lo + 1:
                 break
             nxt = lo + int(np.argmin(y_snap[lo:hi]))
             if marks and nxt <= marks[-1]:
-                nxt = marks[-1] + max(1, int(0.7 * period))
+                nxt = marks[-1] + max(1, int((1.0 - half) * period))
             marks.append(nxt)
             flags.append(1)
             t = float(nxt)
+            run_len += 1
         else:
             nxt = int(t) + unv_step
             if nxt >= n - 1:
@@ -380,6 +432,7 @@ def place_epochs(v_sig: np.ndarray, fs: int, f0: np.ndarray,
             marks.append(nxt)
             flags.append(0)
             t = float(nxt)
+            run_len = 0
 
     marks = np.asarray(marks, np.float64)
     flags = np.asarray(flags, np.float64)

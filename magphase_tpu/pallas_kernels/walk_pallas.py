@@ -38,6 +38,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..epochs.tracker import (SNAP_HALF_ONSET, SNAP_HALF_RUN,
+                              SNAP_ONSET_MARKS)
+
 LANE = 128
 
 
@@ -65,7 +68,7 @@ def _walk_kernel(f0_ref, voi_ref, nsig_ref, nfrm_ref, sig_ref,
         return ~c[2]
 
     def body(c):
-        t, n_marks, done, prev = c
+        t, n_marks, done, prev, run_len = c
         fr = jnp.clip((t.astype(jnp.float32) / frame_step)
                       .astype(jnp.int32), 0, fr_max)
         f0 = f0_ref[b, fr]
@@ -73,8 +76,15 @@ def _walk_kernel(f0_ref, voi_ref, nsig_ref, nfrm_ref, sig_ref,
         period = jnp.where(is_voi, fs / jnp.maximum(f0, 1.0),
                            float(unv_step))
         period = jnp.minimum(period, p_max)
-        p_lo = jnp.floor(0.7 * period).astype(jnp.int32)
-        p_hi = jnp.floor(1.3 * period).astype(jnp.int32)
+        # two-phase snap window — IDENTICAL f32 selects/multiplies to
+        # place_epochs_kernel (tracker.py SNAP_* rationale)
+        wide = run_len < SNAP_ONSET_MARKS
+        lo_mult = jnp.where(wide, jnp.float32(1.0 - SNAP_HALF_ONSET),
+                            jnp.float32(1.0 - SNAP_HALF_RUN))
+        hi_mult = jnp.where(wide, jnp.float32(1.0 + SNAP_HALF_ONSET),
+                            jnp.float32(1.0 + SNAP_HALF_RUN))
+        p_lo = jnp.floor(lo_mult * period).astype(jnp.int32)
+        p_hi = jnp.floor(hi_mult * period).astype(jnp.int32)
         lo = t + p_lo
         hi = jnp.minimum(n_sig - 1, t + p_hi)
 
@@ -114,10 +124,13 @@ def _walk_kernel(f0_ref, voi_ref, nsig_ref, nfrm_ref, sig_ref,
         n_marks = jnp.where(ok, n_marks + 1, n_marks)
         prev = jnp.where(ok, nxt, prev)
         t = jnp.where(ok, nxt, t)
-        return (t, n_marks, done | ~ok, prev)
+        run_len = jnp.where(ok & is_voi, run_len + 1,
+                            jnp.where(ok, 0, run_len))
+        return (t, n_marks, done | ~ok, prev, run_len)
 
-    init = (jnp.int32(0), jnp.int32(0), jnp.bool_(False), jnp.int32(-1))
-    (_, n_marks, _, _) = jax.lax.while_loop(cond, body, init)
+    init = (jnp.int32(0), jnp.int32(0), jnp.bool_(False), jnp.int32(-1),
+            jnp.int32(0))
+    (_, n_marks, _, _, _) = jax.lax.while_loop(cond, body, init)
 
     marks_ref[0] = marks_sc[...]
     nm_ref[b] = n_marks

@@ -34,7 +34,8 @@ def _track_batch_kernel(sigs, n_frames, *, fs: int, n_frames_max: int):
         fs_a = tracker.analysis_rate(fs)[0]
         xa, y_snap = tracker._preprocess(sig, fs=fs)
         nccf, valid = tracker._nccf(xa, nf, n_frames_max=n_frames_max,
-                                    fs_a=fs_a)
+                                    fs_a=fs_a,
+                                    whiten=tracker.nccf_whiten_mode())
         vals, lags = tracker._candidates(nccf)
         states = tracker._viterbi(vals, lags, valid, fs_a=fs_a)
         return states, vals, lags, y_snap

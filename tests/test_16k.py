@@ -29,16 +29,17 @@ DATA = "/root/reference/demos/data_48k/wavs_nat"
 # lf0-medfilt drift at 16 kHz (hvd_594 measured 19.27 global vs 12.48
 # piecewise), forcing 21 dB gates; the piecewise metric's max
 # per-utterance spread across noise keys is 0.62 dB so margins tighten
-# to ~+0.5/0.7.  Recorded (CPU, PRNGKey(0), floor_db=40, round 4):
-# 16k mean 9.81 max 12.48; 22050 mean 7.83 max 9.46;
-# 44100 mean 7.14 max 9.98
+# to ~+0.5/0.7.  Recorded (CPU, PRNGKey(0), floor_db=40, round 5 —
+# two-phase snap window, tracker.py SNAP_*; r4 values in parens):
+# 16k mean 8.85 (9.81) max 10.43 (12.48); 22050 mean 7.93 (7.83) max
+# 10.22 (9.46); 44100 mean 6.86 (7.14) max 10.32 (9.98)
 RATE_GATES = {
     # (up, dn, mean_max, utt_max, worst_chunk_max) — the last is the
     # UNTRIMMED worst chunk (catastrophic-artifact catch; recorded
-    # 30.9 / 18.7 / 26.5 — the 16 kHz tail is the known drift regime)
-    16000: (1, 3, 10.3, 13.2, 36.0),
-    22050: (147, 320, 8.4, 10.2, 24.0),
-    44100: (147, 160, 7.7, 10.7, 32.0),
+    # 30.0 / 20.4 / 26.6 — the 16 kHz tail is the known drift regime)
+    16000: (1, 3, 9.6, 11.2, 36.0),
+    22050: (147, 320, 8.6, 11.0, 24.0),
+    44100: (147, 160, 7.6, 11.0, 32.0),
 }
 
 

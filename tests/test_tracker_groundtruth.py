@@ -21,10 +21,11 @@ from magphase_tpu.utils.tracker_eval import (degrade_stimulus,
 PRED_DIR = "/root/reference/demos/data_48k/params_predicted"
 FS = 48000
 
-# measured on these exact stimuli (CPU, 2026-08, incl. the male-range
-# sweep): gpe <= 0.0122, voi_miss = 0, voi_fa <= 0.0149,
-# gci_hit >= 0.8902, jitter <= 0.6 ms — clean gates sit just above
-# (r3 VERDICT item 5: tightened from gpe 3% / hit 85%)
+# measured on these exact stimuli (CPU, 2026-08, r5 two-phase snap
+# window — tracker.py SNAP_*): gpe = 0, voi_miss = 0, voi_fa <= 0.0149,
+# gci_hit >= 0.9688, jitter <= 0.1 ms — clean gates sit just above
+# (r4: gpe <= 0.0122, hit >= 0.8902; r3 VERDICT item 5: tightened from
+# gpe 3% / hit 85%)
 SYNTH_CASES = {
     "steady120": [(0.3, 120, 120)],
     "rise90_180": [(0.4, 90, 180)],
@@ -36,24 +37,29 @@ SYNTH_CASES = {
               (0.3, 220, 110), (0.1, None, None)],
 }
 
-# robustness envelope beyond clean read speech (r3 VERDICT item 5).
-# Measured worst-per-degradation across all SYNTH_CASES (CPU, seed 7,
-# full table in docs/ROUND4.md):
-#   snr20        — identical to clean (gpe 1.22%, hit 89.0%)
-#   snr10        — identical to clean
-#   reverb 0.2 s — gpe 8.5% (rise90_180), fa 3.1%, hit 89.8%
-#   snr20+rvb.15 — gpe 8.5%, fa 3.1%, hit 89.8%
+# robustness envelope beyond clean read speech (r3 VERDICT item 5;
+# r5/VERDICT r4 item 5 closed the reverb gap with the two-phase snap
+# window).  Measured worst-per-degradation across all SYNTH_CASES (CPU,
+# seed 7; r4 values for contrast in docs/ROUND4.md — reverb GPE was
+# 8.5% before the narrow in-run window):
+#   snr20 / snr10 — gpe 0, fa 0, hit 96.9%
+#   reverb 0.2 s  — gpe 0, fa 3.1%, hit 93.9%
+#   snr20+rvb.15  — gpe 0, fa 3.1%, hit 93.9%
+#   snr10+rvb.20  — gpe 0, fa 0, hit 93.9%
 DEGRADATIONS = {
     "snr20": (dict(snr_db=20),
-              dict(gpe=0.02, voi_miss=0.02, voi_fa=0.03, gci_hit=0.87)),
+              dict(gpe=0.01, voi_miss=0.02, voi_fa=0.03, gci_hit=0.93)),
     "snr10": (dict(snr_db=10),
-              dict(gpe=0.02, voi_miss=0.02, voi_fa=0.03, gci_hit=0.87)),
+              dict(gpe=0.01, voi_miss=0.02, voi_fa=0.03, gci_hit=0.93)),
     "reverb200ms": (dict(rt60_s=0.2),
-                    dict(gpe=0.10, voi_miss=0.02, voi_fa=0.05,
-                         gci_hit=0.87)),
+                    dict(gpe=0.02, voi_miss=0.02, voi_fa=0.05,
+                         gci_hit=0.90)),
     "snr20_reverb": (dict(snr_db=20, rt60_s=0.15),
-                     dict(gpe=0.10, voi_miss=0.02, voi_fa=0.05,
-                          gci_hit=0.87)),
+                     dict(gpe=0.02, voi_miss=0.02, voi_fa=0.05,
+                          gci_hit=0.90)),
+    "snr10_reverb": (dict(snr_db=10, rt60_s=0.2),
+                     dict(gpe=0.03, voi_miss=0.02, voi_fa=0.05,
+                          gci_hit=0.90)),
 }
 
 
@@ -62,10 +68,10 @@ def test_tracker_on_known_epoch_stimuli(name):
     sig, gci, ivals, f0_at = make_stimulus(FS, SYNTH_CASES[name], seed=1)
     pm, voi = extract_epochs(sig, FS)
     m = tracker_metrics(pm, voi, gci, ivals, f0_at, len(sig) / FS)
-    assert m["gpe"] < 0.02, m
+    assert m["gpe"] < 0.01, m
     assert m["voi_miss"] < 0.02, m
     assert m["voi_fa"] < 0.03, m
-    assert m["gci_hit"] > 0.87, m
+    assert m["gci_hit"] > 0.93, m
     assert m["gci_jitter"] < 1.0e-3, m
 
 

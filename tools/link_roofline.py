@@ -143,6 +143,154 @@ def measure(batch: int = 64) -> dict:
     }
 
 
+def measure_synthesis(batch: int = 128, transport: str = "int8",
+                      iters: int = 10) -> dict:
+    """Host-link roofline for the SYNTHESIS E2E pipeline (VERDICT r4
+    item 3): sample same-window sync transfer rates for the pipeline's
+    actual tensors, derive the bytes-limited bound, and report the
+    measured pipelined E2E against it — so round-over-round synthesis
+    claims are bound-relative ratios, not raw audio-s/s that swing 4x
+    with tunnel weather.
+
+    Workload = bench.py's serving-shaped schedule: per batch, upload the
+    packed (B, F, 150) feature tensor (+ framing geometry + keys),
+    synthesise on device, and read back only a strided probe of the OLA
+    buffers (in a TTS serving deployment the audio consumer sits on the
+    device side or downloads PCM16 separately — the cli-generate path's
+    download is the analysis roofline's territory)."""
+    import jax
+    import jax.numpy as jnp
+    from magphase_tpu.config import (define_alpha, define_crossfade_params,
+                                     define_fft_len)
+    from magphase_tpu.io import read_binfile
+    from magphase_tpu.parallel import batch as pb
+
+    PRED = "/root/reference/demos/data_48k/params_predicted"
+    toks = ["hvd_704", "hvd_705", "hvd_706", "hvd_708"]
+    utts = []
+    for i in range(batch):
+        t = toks[i % len(toks)]
+        utts.append((read_binfile(os.path.join(PRED, t + ".mag"), 60),
+                     read_binfile(os.path.join(PRED, t + ".real"), 45),
+                     read_binfile(os.path.join(PRED, t + ".imag"), 45),
+                     read_binfile(os.path.join(PRED, t + ".lf0"), 1)))
+    keys = np.asarray(jax.random.split(jax.random.PRNGKey(0), batch),
+                      np.uint32)
+    alpha = define_alpha(FS)
+    fft_len = define_fft_len(FS)
+    mag_dim_ph = pb.get_num_full_mel_coeffs_from_num_phase_coeffs(
+        define_crossfade_params(FS)[0], 45, alpha, FS)
+    fft_syn, max_b = pb._synthesis_geometry(utts, FS, fft_len, True, None)
+    host = pb._prepare_synthesis_group(
+        utts[:max_b], n_real=min(batch, max_b), keys=keys, mesh=None,
+        max_b=max_b, fs=FS, fft_syn=fft_syn, alpha=alpha,
+        alpha_phase=alpha, mag_dim=60, phase_dim=45,
+        mag_dim_ph=mag_dim_ph, b_voi_ap_win=True,
+        per_phase_type="magphase", b_out_hpf=True, pf_type="no",
+        transport=transport)
+    groups = -(-batch // max_b)
+    audio_s_iter = groups * sum(host["out_lens"][:host["n_real"]]) / FS
+
+    up_arrays = list(host["args"]) + [host["keys"]] + [
+        e for e in host["extra"] if e is not None]
+    up_bytes = groups * sum(a.nbytes for a in up_arrays)
+
+    dev = jax.devices()[0]
+    probe = jax.device_put(np.zeros(1, np.float32), dev)
+    _ = np.asarray(jax.device_get(probe))        # flip into sync mode
+
+    def time_upload(reps=3):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            bufs = [jax.device_put(a, dev) for a in up_arrays]
+            jax.block_until_ready(bufs)
+            best = min(best, time.perf_counter() - t0)
+            del bufs
+        return best * groups
+
+    # --- pure device time per batch (scan-loop, contention-immune)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from device_bench import build_loop_kernel, prepare_args
+
+    args, statics, dev_audio_s = prepare_args(utts, FS, fft_len)
+    loop = build_loop_kernel()
+    key = jax.random.PRNGKey(0)
+    times = {}
+    for it in (2, 10, 2, 10):
+        t0 = time.perf_counter()
+        jax.device_get(loop(*args, key, iters=it, **statics))
+        times.setdefault(it, []).append(time.perf_counter() - t0)
+    t_dev = (min(times[10]) - min(times[2])) / 8.0
+
+    # --- the serving probe read per batch (tiny, but one sync RT)
+    probe_arr = np.zeros((batch, 40), np.float32)
+
+    def time_probe(reps=3):
+        mk = jax.jit(lambda x, s: x + s)
+        base = jax.device_put(probe_arr, dev)
+        bufs = [mk(base, jnp.float32(i + 1)) for i in range(reps)]
+        jax.block_until_ready(bufs)
+        best = float("inf")
+        for b in bufs:
+            t0 = time.perf_counter()
+            np.asarray(jax.device_get(b))
+            best = min(best, time.perf_counter() - t0)
+        return best * groups
+
+    t_up = time_upload()
+    t_probe = time_probe()
+
+    # --- measured E2E, the bench schedule (threaded pipeline, sync mode)
+    def batches(n):
+        for i in range(n):
+            ks = np.asarray(jax.random.split(jax.random.PRNGKey(i),
+                                             len(utts)), np.uint32)
+            yield utts, ks
+
+    def consume(bufs, h):
+        v = np.asarray(jax.device_get(bufs[:, ::4096]))
+        assert np.all(np.isfinite(v))
+        return sum(h["out_lens"][:h["n_real"]])
+
+    for _ in pb.synthesis_batches_pipelined(batches(1), FS,
+                                            transport=transport,
+                                            consume=consume):
+        pass                                       # warmup/compile
+    t0 = time.perf_counter()
+    total = 0
+    for n in pb.synthesis_batches_pipelined(batches(iters), FS,
+                                            transport=transport,
+                                            consume=consume):
+        total += n
+    e2e = total / FS / (time.perf_counter() - t0)
+
+    # same-window average (tunnel weather drifts minute to minute)
+    t_up = 0.5 * (t_up + time_upload())
+    t_probe = 0.5 * (t_probe + time_probe())
+
+    bound_overlap = audio_s_iter / max(t_up, t_probe, t_dev)
+    bound_serial = audio_s_iter / (t_up + t_probe + t_dev)
+    return {
+        "audio_s_per_iter": round(audio_s_iter, 2),
+        "transport": transport,
+        "upload_MB": round(up_bytes / 1e6, 2),
+        "upload_s": round(t_up, 4),
+        "upload_MBps": round(up_bytes / 1e6 / t_up, 1),
+        "probe_s": round(t_probe, 4),
+        "device_s": round(t_dev, 4),
+        "bound_serial_audio_s_per_s": round(bound_serial, 1),
+        "bound_overlap_audio_s_per_s": round(bound_overlap, 1),
+        "e2e_audio_s_per_s": round(e2e, 1),
+        "e2e_vs_serial_bound": round(e2e / bound_serial, 3),
+        "e2e_vs_overlap_bound": round(e2e / bound_overlap, 3),
+    }
+
+
 if __name__ == "__main__":
-    print(json.dumps(measure(
-        int(sys.argv[1]) if len(sys.argv) > 1 else 64)))
+    if len(sys.argv) > 1 and sys.argv[1] == "synthesis":
+        print(json.dumps(measure_synthesis(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 128)))
+    else:
+        print(json.dumps(measure(
+            int(sys.argv[1]) if len(sys.argv) > 1 else 64)))
