@@ -103,6 +103,7 @@ def worker_synth_pipelined():
     feature upload rides the link while the device computes the previous
     batch.  Serving-shaped consume: a probe read per batch."""
     import jax
+    import jax.numpy as jnp
     import numpy as np
     from magphase_tpu.parallel.batch import synthesis_batches_pipelined
 
@@ -121,10 +122,30 @@ def worker_synth_pipelined():
                                                len(utts)), np.uint32)
             yield utts, keys
 
+    # deferred serving probe: a blocking per-group device_get stalls
+    # behind the next group's in-flight upload (utils/transfer.py), so
+    # validation rides copy_to_host_async and is read one group later;
+    # the TIMED final drain still forces every kernel to have executed
+    probe_jit = jax.jit(lambda x: jnp.where(
+        jnp.all(jnp.isfinite(x)), jnp.sum(x[:, ::1024]), jnp.nan))
+    pend = []
+
     def consume(bufs, host):
-        v = np.asarray(jax.device_get(bufs[:, ::4096]))
-        assert np.all(np.isfinite(v)), "synthesis: non-finite output"
+        pr = probe_jit(bufs)
+        try:
+            pr.copy_to_host_async()
+        except Exception:
+            pass
+        pend.append(pr)
+        if len(pend) > 1:
+            v = float(np.asarray(jax.device_get(pend.pop(0))))
+            assert np.isfinite(v), "synthesis: non-finite output"
         return sum(host["out_lens"][:host["n_real"]])
+
+    def drain():
+        while pend:
+            v = float(np.asarray(jax.device_get(pend.pop(0))))
+            assert np.isfinite(v), "synthesis: non-finite output"
 
     # flip into per-dispatch-sync mode BEFORE timing: in the flipped
     # mode stage calls block for their true duration
@@ -135,6 +156,7 @@ def worker_synth_pipelined():
                                          transport=transport,
                                          consume=consume):
         pass                                       # warmup/compile
+    drain()
 
     t0 = time.perf_counter()
     total = 0
@@ -142,6 +164,7 @@ def worker_synth_pipelined():
                                          transport=transport,
                                          consume=consume):
         total += n
+    drain()                                        # timed drain
     dt = time.perf_counter() - t0
     print(json.dumps({"value": total / FS / dt}))
 

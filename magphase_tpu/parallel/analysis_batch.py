@@ -189,12 +189,23 @@ def _upload_signal_batch(host_arrays, mesh=None):
     Blocks until the transfer lands so the upload's cost is paid HERE —
     on the pipeline's upload thread — not inside the next kernel
     dispatch on the compute thread (device_put is fire-and-forget even
-    in the tunnel's per-dispatch-sync mode)."""
-    sigs_d, n_sigs_d, n_frames_d = (jnp.asarray(a) for a in host_arrays)
+    in the tunnel's per-dispatch-sync mode).  The big signal tensor goes
+    up as per-chunk-blocking slices (utils/transfer.py): a device_get
+    issued behind a monolithic in-flight put waits for the WHOLE put, so
+    one big upload stalls the download thread's gets for a full group —
+    chunking bounds the stall at one chunk and restores the measured
+    duplex overlap."""
     if mesh is not None:
+        sigs_d, n_sigs_d, n_frames_d = (jnp.asarray(a)
+                                        for a in host_arrays)
         sigs_d, n_sigs_d, n_frames_d = shard_batch(
             mesh, sigs_d, n_sigs_d, n_frames_d)
-    jax.block_until_ready(sigs_d)
+        jax.block_until_ready(sigs_d)
+        return sigs_d, n_sigs_d, n_frames_d
+    from ..utils.transfer import device_put_chunked
+    sigs_d = device_put_chunked(host_arrays[0])
+    n_sigs_d, n_frames_d = (jnp.asarray(a) for a in host_arrays[1:])
+    jax.block_until_ready((n_sigs_d, n_frames_d))
     return sigs_d, n_sigs_d, n_frames_d
 
 

@@ -449,22 +449,38 @@ def synthesis_batches_pipelined(batches, fs: int,
 def _upload_synthesis_group(host: dict, mesh):
     """Device half 1: push the group's operands (the upstream link leg).
 
-    Blocks until the feature tensor lands so the upload is paid on the
+    Blocks until EVERY operand lands so the upload is paid on the
     pipeline's upload thread, not inside the compute dispatch
-    (device_put is fire-and-forget even in per-dispatch-sync mode)."""
-    args = tuple(jnp.asarray(a) for a in host["args"])
-    keys_d = jnp.asarray(host["keys"])
-    extra = tuple(None if e is None else jnp.asarray(e)
-                  for e in host["extra"])
+    (device_put is fire-and-forget even in per-dispatch-sync mode).
+    The feature tensor goes up as per-chunk-blocking slices
+    (utils/transfer.py): a device_get issued behind a monolithic
+    in-flight put waits for the WHOLE put, so one big upload stalls the
+    download thread for a full group — chunking bounds the stall at one
+    chunk."""
     if mesh is not None:
+        args = tuple(jnp.asarray(a) for a in host["args"])
+        keys_d = jnp.asarray(host["keys"])
+        extra = tuple(None if e is None else jnp.asarray(e)
+                      for e in host["extra"])
         sm_args = args + (keys_d,)
         if extra[0] is not None:
             sm_args = sm_args + extra
         sm_args = shard_batch(mesh, *sm_args)
         jax.block_until_ready(sm_args[0])
         return dict(sm_args=sm_args, host=host)
-    jax.block_until_ready(args[0])
-    return dict(args=args, keys=keys_d, extra=extra, host=host)
+    from ..utils.transfer import device_put_chunked
+    # queue the small operands FIRST (fire-and-forget): they ride the
+    # stream ahead of/with the big blocking feats chunks, so the final
+    # block costs no extra round trip
+    rest = tuple(jnp.asarray(a) for a in host["args"][1:])
+    keys_d = jnp.asarray(host["keys"])
+    extra = tuple(None if e is None else jnp.asarray(e)
+                  for e in host["extra"])
+    feats_d = device_put_chunked(host["args"][0])
+    jax.block_until_ready(rest + (keys_d,)
+                          + tuple(e for e in extra if e is not None))
+    return dict(args=(feats_d,) + rest, keys=keys_d, extra=extra,
+                host=host)
 
 
 def _execute_synthesis_group(dev: dict, mesh, *, pcm16: bool):

@@ -82,16 +82,17 @@ def diag_lossless(batch=24):
     batch_sigs = [signals[i % len(signals)] for i in range(batch)]
     audio_s = sum(len(s) for s in batch_sigs) / FS
 
+    transports = ("f32", "compact", "compact16")
     out = {"audio_s": round(audio_s, 1)}
-    for transport in ("f32", "compact"):         # warmups (compiles)
+    for transport in transports:                 # warmups (compiles)
         feats = analysis_lossless_batch(batch_sigs, FS,
                                         transport=transport)
         assert len(feats) == batch
     # interleaved reps: tunnel bandwidth drifts minute to minute, so
     # sequential per-transport blocks confound transport with time
-    times = {"f32": [], "compact": []}
+    times = {t: [] for t in transports}
     for _ in range(3):
-        for transport in ("f32", "compact"):
+        for transport in transports:
             t0 = time.perf_counter()
             analysis_lossless_batch(batch_sigs, FS, transport=transport)
             times[transport].append(time.perf_counter() - t0)
