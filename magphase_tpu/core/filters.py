@@ -157,7 +157,14 @@ def sosfilt(sos, x: jnp.ndarray, ntaps: int = 16384,
     m = len(h)
     cdtype = (np.complex64 if x.dtype == jnp.float32 else np.complex128)
     if mode == "blocked":
-        nblk = 1 << int(np.ceil(np.log2(max(4 * m, 32768))))
+        # MAGPHASE_HPF_BLOCK sweeps the (globally fixed) section size —
+        # any fixed power of two > m keeps the length-independence
+        # contract; 32768 measured best on v5e (tools/hpf_block_sweep.py:
+        # 65536/131072 within noise, 16384 ~1.5x worse at this h length)
+        import os
+        env = int(os.environ.get("MAGPHASE_HPF_BLOCK", "0"))
+        nblk = env if env > 2 * m else \
+            1 << int(np.ceil(np.log2(max(4 * m, 32768))))
     else:
         nblk = 1 << int(np.ceil(np.log2(max(4 * m, min(n + m, 32768)))))
     L = nblk - (m - 1)

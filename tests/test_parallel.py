@@ -193,3 +193,22 @@ def test_partition_tokens_duration_balanced():
     import pytest
     with pytest.raises(ValueError):
         partition_tokens(toks, 0, 2, weights=w[:-1])
+
+
+def test_device_put_chunked_bitwise():
+    """Chunked blocking upload must reproduce the array exactly for any
+    shape/dtype mix (incl. non-dividing row counts and sub-chunk
+    arrays)."""
+    from magphase_tpu.utils.transfer import device_put_chunked
+
+    rng = np.random.RandomState(0)
+    for arr in (rng.randn(13, 1000).astype(np.float32),
+                (rng.randn(7, 33, 5) * 100).astype(np.int16),
+                rng.randn(1, 8).astype(np.float16),
+                np.arange(5, dtype=np.int32)):
+        got = np.asarray(device_put_chunked(arr, chunk_bytes=4000))
+        np.testing.assert_array_equal(got, arr)
+    # chunking disabled -> plain path
+    arr = rng.randn(16, 16).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(device_put_chunked(arr, chunk_bytes=0)), arr)
