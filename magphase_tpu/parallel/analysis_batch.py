@@ -412,8 +412,19 @@ def _analyze_compress_impl(sigs, marks, flags, n_marks, n_sigs, *,
         if feats_f16:
             # f16 transfer encoding for the (download-bound) host link:
             # the mel streams quantise to ~1e-3 relative — far below the
-            # mel compression error — lf0 (MAGIC -1e10)/shift stay f32
+            # mel compression error — lf0 (MAGIC -1e10)/shift stay f32,
+            # BITCAST into four extra u16-as-f16 channels so the whole
+            # group leaves as ONE tensor (each extra device_get pays a
+            # full link round trip, and one big transfer moves ~2x the
+            # MB/s of several small ones)
+            Bp, Fp, _ = feats.shape
             feats = feats.astype(jnp.float16)
+            aux16 = jax.lax.bitcast_convert_type(
+                aux.astype(jnp.float32), jnp.uint16).reshape(Bp, Fp, 4)
+            feats = jnp.concatenate(
+                [feats, jax.lax.bitcast_convert_type(aux16, jnp.float16)],
+                axis=-1)
+            return feats, n_valid
         return feats, aux, n_valid
     if feats_f16:
         mml, mrm, mim = (x.astype(jnp.float16) for x in (mml, mrm, mim))
@@ -877,6 +888,10 @@ def analysis_compressed_batch_async(signals: list, fs: int,
                         q, szp, aux, nv = p["out"]
                         q, aux = _trim_frames((q, aux), n=Fa)
                         p["out"] = (q, szp, aux, nv)
+                    elif len(p["out"]) == 2:    # f16, aux bitcast-packed
+                        feats, nv = p["out"]
+                        (feats,) = _trim_frames((feats,), n=Fa)
+                        p["out"] = (feats, nv)
                     else:
                         feats, aux, nv = p["out"]
                         feats, aux = _trim_frames((feats, aux), n=Fa)
@@ -900,6 +915,21 @@ def analysis_compressed_batch_async(signals: list, fs: int,
                                 aux[b, :n, 0].astype(np.float64),
                                 aux[b, :n, 1].astype(np.int64)))
                 feats = None
+            elif len(p["out"]) == 2:      # f16, aux bitcast-packed
+                D = mag_dim + 2 * phase_dim
+                feats = np.asarray(jax.device_get(p["out"][0]))
+                # last 4 channels are the f32 (lf0, shift) pair bitcast
+                # into u16-as-f16 lanes; reinterpret the bytes back
+                aux = np.ascontiguousarray(
+                    feats[:, :, D:D + 4]).view(np.float32)
+                for b in range(n_real):
+                    n = int(nm[b])
+                    f = feats[b, :n, :D].astype(np.float64)
+                    out.append((f[:, :mag_dim],
+                                f[:, mag_dim:mag_dim + phase_dim],
+                                f[:, mag_dim + phase_dim:],
+                                aux[b, :n, 0].astype(np.float64),
+                                aux[b, :n, 1].astype(np.int64)))
             else:
                 feats, aux, _ = p["out"]
                 feats, aux = jax.device_get((feats, aux))
