@@ -104,6 +104,24 @@ def butter_highpass_sos(order: int, fc_hz: float, fs: int):
 
 
 @functools.lru_cache(maxsize=16)
+def sos_freq_response_rfft(sos, fft_len: int):
+    """Exact steady-state frequency response of the SOS cascade at the
+    ``fft_len`` rfft bin frequencies, as two float32 vectors (re, im).
+
+    This is the spectral form of the filter for PER-FRAME application
+    inside the synthesis kernel (MAGPHASE_HPF_MODE=spectral): multiplying
+    each pitch-sync frame's spectrum by H before the inverse FFT filters
+    the frame circularly with the (time-aliased) IIR response, and the
+    OLA of filtered frames approximates filtering the OLA'd signal
+    (exactly equal up to the per-frame wrap-around and the non-commuting
+    anti-ringing window; measured A/B in tools/hpf_mode_ab.py).  Kept as
+    real pairs — complex64 constants are unsafe on the axon link."""
+    w = 2.0 * np.pi * np.arange(fft_len // 2 + 1) / float(fft_len)
+    _, H = sp_signal.sosfreqz(np.asarray(sos, np.float64), worN=w)
+    return H.real.astype(np.float32), H.imag.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=16)
 def _sos_impulse_response(sos, ntaps: int):
     """Exact (float64, scipy) impulse response of the SOS cascade,
     truncated to ``ntaps``."""

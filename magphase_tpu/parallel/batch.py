@@ -18,6 +18,7 @@ per batch).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -40,7 +41,8 @@ def _fused_batch_impl(feats, voi, pm, shifts, nfrms, ns_len, keys,
                       q_scale=None, q_zp=None, *,
                       fs, fft_len, alpha, alpha_phase, mag_dim, phase_dim,
                       mag_dim_ph, b_voi_ap_win, per_phase_type,
-                      out_len_max, ns_len_max, b_out_hpf, pf_type):
+                      out_len_max, ns_len_max, b_out_hpf, pf_type,
+                      hpf_mode="blocked"):
     """One dispatch for the whole batch: [post-filter] -> mel-unwarp ->
     synthesis core (Pallas framing/OLA on TPU) -> [40 Hz high-pass]
     (magphase.py:825-997 + 3259-3268 batched).
@@ -71,16 +73,25 @@ def _fused_batch_impl(feats, voi, pm, shifts, nfrms, ns_len, keys,
         mag_mel, real_mel, imag_mel, fft_len=fft_len,
         mag_dim_ph=mag_dim_ph, alpha=alpha, alpha_phase=alpha_phase)
 
+    spectral_hpf = b_out_hpf and hpf_mode == "spectral"
     bufs = synthesis_core_batch(
         m_mag.reshape(B, F, h), m_real.reshape(B, F, h),
         m_imag.reshape(B, F, h), voi, pm, shifts, nfrms, ns_len, keys,
         fs=fs, fft_len=fft_len, alpha=alpha, b_voi_ap_win=b_voi_ap_win,
         per_phase_type=per_phase_type, out_len_max=out_len_max,
-        ns_len_max=ns_len_max)
-    if b_out_hpf:
-        # 'blocked' = signal-length-independent FFT sections, so each
-        # utterance's audio is bitwise invariant to the batch's padded
-        # length (multi-host merge == single-host, byte for byte)
+        ns_len_max=ns_len_max,
+        out_hpf="spectral" if spectral_hpf else None)
+    if b_out_hpf and not spectral_hpf:
+        # 'blocked' (MAGPHASE_HPF_MODE=blocked, the reference-faithful
+        # A/B form): FFT convolution on the OLA'd signal in
+        # signal-length-independent sections, so each utterance's audio
+        # is bitwise invariant to the batch's padded length (multi-host
+        # merge == single-host, byte for byte).  The default 'spectral'
+        # mode instead folds the filter into the frame spectra inside
+        # the core — per-frame by construction, so equally
+        # composition-independent, and 1.34x faster end to end on device
+        # (30.3 -> 22.6 ms/iter at B=128; quality-neutral, see
+        # tools/hpf_mode_ab.py)
         sos = butter_highpass_sos(4, 40.0, fs)
         bufs = jax.vmap(lambda x: sosfilt(sos, x, mode="blocked"))(bufs)
     return bufs
@@ -93,7 +104,7 @@ _fused_batch_kernel = functools.partial(
     static_argnames=("fs", "fft_len", "alpha", "alpha_phase", "mag_dim",
                      "phase_dim", "mag_dim_ph", "b_voi_ap_win",
                      "per_phase_type", "out_len_max", "ns_len_max",
-                     "b_out_hpf", "pf_type"))(_fused_batch_impl)
+                     "b_out_hpf", "pf_type", "hpf_mode"))(_fused_batch_impl)
 
 
 def quantise_feats(feats16: np.ndarray, nfrms: np.ndarray):
@@ -350,7 +361,9 @@ def _prepare_synthesis_group(utts, *, n_real, keys, mesh, max_b, fs,
                      phase_dim=phase_dim, mag_dim_ph=mag_dim_ph,
                      b_voi_ap_win=b_voi_ap_win,
                      per_phase_type=per_phase_type, out_len_max=O,
-                     ns_len_max=NS, b_out_hpf=b_out_hpf, pf_type=pf_type)
+                     ns_len_max=NS, b_out_hpf=b_out_hpf, pf_type=pf_type,
+                     hpf_mode=os.environ.get("MAGPHASE_HPF_MODE",
+                                             "spectral"))
     keys_b = np.zeros((B, 2), np.uint32)
     keys_b[:n_real] = keys[:n_real]         # dummy rows: outputs dropped
     return dict(args=args, extra=extra, keys=keys_b, static_kw=static_kw,

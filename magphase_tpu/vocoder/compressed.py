@@ -28,7 +28,8 @@ import numpy as np
 from ..config import (MagPhaseConfig, define_alpha, define_crossfade_params,
                       define_fft_len)
 from ..core import framing, matfft, melcep
-from ..core.filters import butter_highpass_coeffs
+from ..core.filters import (butter_highpass_coeffs, butter_highpass_sos,
+                            sos_freq_response_rfft)
 from ..core.interp import extend_nearest_coeffs, interp_linear_axis0
 from ..core.spectral import (build_mel_curve, crossfade_down_win_np, db,
                              f0_to_lf0, mel_curve_np, protected_log,
@@ -336,7 +337,7 @@ def synthesis_core_batch(m_mag, m_real, m_imag, v_voi, pm, shifts, nfrms,
                          ns_len, keys, *, fs: int, fft_len: int,
                          alpha: float, b_voi_ap_win: bool,
                          per_phase_type: str, out_len_max: int,
-                         ns_len_max: int):
+                         ns_len_max: int, out_hpf: str | None = None):
     """The v2.0 synthesis pipeline from full-resolution spectra
     (magphase.py:872-976), batched over utterances: (B, F, H) spectra,
     (B, F) voicing/pm/shifts, (B,) nfrms/ns_len, (B, 2) PRNG keys.
@@ -442,6 +443,26 @@ def synthesis_core_batch(m_mag, m_real, m_imag, v_voi, pm, shifts, nfrms,
     m_syn = m_syn.at[..., 0].set(jnp.abs(m_syn[..., 0]) + 0j)
     m_syn = m_syn.at[..., -1].set(jnp.abs(m_syn[..., -1]) + 0j)
 
+    if out_hpf == "spectral":
+        # 40 Hz output high-pass (magphase.py:990-995) folded into the
+        # frame spectra as a per-bin complex gain: HPF is LTI, so it
+        # commutes with the OLA sum; the residual error (per-frame
+        # circular wrap + non-commutation with the anti-ringing window)
+        # measured quality-NEUTRAL on the demo corpus — copy-synthesis
+        # MSD vs natural 7.206 dB spectral vs 7.226 blocked (worst chunk
+        # 16.6 vs 16.8), cross-mode piecewise MSD 1.3 dB i.e. well under
+        # a noise-key change — while deleting the blocked FFT-conv pass
+        # cut the fused device iteration 30.3 -> 22.6 ms (B=128,
+        # tools/hpf_mode_ab.py).  Constants stay real float32 (complex64
+        # constants are unsafe on the axon link).
+        hre_np, him_np = sos_freq_response_rfft(
+            butter_highpass_sos(4, 40.0, fs), fft_len)
+        hre = jnp.asarray(hre_np, dtype)
+        him = jnp.asarray(him_np, dtype)
+        s_re, s_im = jnp.real(m_syn), jnp.imag(m_syn)
+        m_syn = jax.lax.complex(s_re * hre - s_im * him,
+                                s_re * him + s_im * hre)
+
     # --- to time domain (963-965).  The reference's fftshift after the
     # inverse FFT is folded into the spectrum as a (-1)^k sign flip
     # (time shift by N/2 <=> modulation by e^{-i*pi*k}) — one fused
@@ -483,7 +504,8 @@ def synthesis_core(m_mag, m_real, m_imag, v_voi, pm, shifts, nfrms,
 _synthesis_core_kernel = functools.partial(
     jax.jit,
     static_argnames=("fs", "fft_len", "alpha", "b_voi_ap_win",
-                     "per_phase_type", "out_len_max", "ns_len_max"))(
+                     "per_phase_type", "out_len_max", "ns_len_max",
+                     "out_hpf"))(
         synthesis_core)
 
 

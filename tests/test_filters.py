@@ -45,3 +45,23 @@ def test_medfilt3_matches_scipy():
     x = np.random.RandomState(2).randn(501)
     got = np.asarray(medfilt3(jnp.asarray(x)))
     np.testing.assert_allclose(got, sp.medfilt(x), atol=1e-12)
+
+
+def test_sos_freq_response_rfft_matches_freqz():
+    """The spectral-HPF gain table (vocoder spectral mode) is the exact
+    steady-state response: matches scipy freqz of the (b, a) form at
+    every rfft bin; DC is fully rejected; Nyquist response is real (the
+    hermitian irfft assumes real DC/Nyquist bins)."""
+    from scipy import signal as sp_signal
+    from magphase_tpu.core.filters import (butter_highpass_coeffs,
+                                           butter_highpass_sos,
+                                           sos_freq_response_rfft)
+    sos = butter_highpass_sos(4, 40.0, 48000)
+    hre, him = sos_freq_response_rfft(sos, 2048)
+    assert hre.shape == (1025,) and hre.dtype == np.float32
+    b, a = butter_highpass_coeffs(4, 40.0, 48000)
+    w = 2.0 * np.pi * np.arange(1025) / 2048.0
+    _, H = sp_signal.freqz(np.asarray(b), np.asarray(a), worN=w)
+    np.testing.assert_allclose(hre + 1j * him, H, atol=1e-5)
+    assert abs(hre[0]) < 1e-6 and abs(him[0]) < 1e-6
+    assert abs(him[-1]) < 1e-6

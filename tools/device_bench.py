@@ -34,7 +34,7 @@ def build_loop_kernel():
         static_argnames=("iters", "fs", "fft_len", "alpha", "alpha_phase",
                          "mag_dim", "phase_dim", "mag_dim_ph",
                          "b_voi_ap_win", "per_phase_type", "out_len_max",
-                         "ns_len_max", "b_out_hpf", "pf_type"))
+                         "ns_len_max", "b_out_hpf", "pf_type", "hpf_mode"))
     def loop_kernel(feats, voi, pm, shifts, nfrms, ns_len, key, *, iters,
                     **statics):
         def body(acc, k):
@@ -105,7 +105,9 @@ def prepare_args(utts, fs, fft_len):
                    mag_dim=mag_dim, phase_dim=phase_dim,
                    mag_dim_ph=mag_dim_ph, b_voi_ap_win=True,
                    per_phase_type="magphase", out_len_max=O, ns_len_max=NS,
-                   b_out_hpf=True, pf_type="no")
+                   b_out_hpf=True, pf_type="no",
+                   hpf_mode=os.environ.get("MAGPHASE_HPF_MODE",
+                                           "spectral"))
     audio_s = float(sum(out_lens)) / fs
     return args, statics, audio_s
 
