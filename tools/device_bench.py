@@ -213,7 +213,7 @@ def bench_phase2_breakdown(batch=24):
     import jax.numpy as jnp
     from magphase_tpu.io import read_wav
     from magphase_tpu.parallel import analysis_batch as ab
-    from magphase_tpu.core import framing
+    from magphase_tpu.core import framing, matfft
     from magphase_tpu.core.windows import HANNING
     from magphase_tpu.config import (define_alpha, define_crossfade_params,
                                      define_fft_len)
