@@ -475,8 +475,20 @@ def synthesis_core_batch(m_mag, m_real, m_imag, v_voi, pm, shifts, nfrms,
     # LOSSLESS synthesis keeps the exact two-stage path (its witness is
     # sub-PCM16 reconstruction).  MAGPHASE_IRFFT=two_stage restores the
     # exact path here for A/B.
-    if os.environ.get("MAGPHASE_IRFFT") == "two_stage":
+    # MAGPHASE_IRFFT: 'two_stage' = exact f32 (A/B yardstick); 'bf16' =
+    # 1-pass bf16 (3.56 -> 1.16 ms on the hot shape; device 10,050 ->
+    # 11,738 audio-s/s) — but its rel err 2.1e-3 sits AT the f16
+    # feature-transport error rather than below it and costs 0.678 dB
+    # MSD vs exact (the 'high' default costs 0.043; the int8-transport
+    # adoption bar was 0.26), so it stays an opt-in throughput-priority
+    # serving knob, not the default (tools/dft_quality_ab.py
+    # 'fast,irfft_bf16,exact')
+    irfft_env = os.environ.get("MAGPHASE_IRFFT")
+    if irfft_env == "two_stage":
         m_frm = matfft.irfft(m_syn * alt, n=fft_len)
+    elif irfft_env == "bf16":
+        m_frm = matfft.irfft_direct(m_syn * alt, n=fft_len,
+                                    precision="default")
     else:
         m_frm = matfft.irfft_direct(m_syn * alt, n=fft_len,
                                     precision="high")
@@ -613,9 +625,11 @@ def synthesis_from_compressed(m_mag_mel_log, m_real_mel, m_imag_mel, v_lf0,
     if b_out_hpf:
         # 4th-order Butterworth high-pass at 40 Hz (magphase.py:990-995).
         # Host-side float64: the poles sit so close to the unit circle that
-        # float32 state recursions are numerically explosive (the on-device
-        # batched path uses the FFT-convolution sosfilt in core/filters.py
-        # for the same reason).
+        # float32 state recursions are numerically explosive.  This single-
+        # utterance entry keeps the exact reference-shaped sequential IIR;
+        # the batched device path defaults to the spectral per-frame form
+        # (MAGPHASE_HPF_MODE, see synthesis_core_batch) with
+        # 'blocked' FFT-convolution as the reference-faithful A/B.
         from scipy import signal as sp_signal
         b, a = butter_highpass_coeffs(4, 40.0, fs)
         v_syn = sp_signal.lfilter(np.asarray(b), np.asarray(a), v_syn)

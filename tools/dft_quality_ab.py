@@ -23,12 +23,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 WAV = "/root/reference/demos/data_48k/wavs_nat/hvd_591.wav"
 
 
-def run_one(out_npz: str, exact: bool, wav: str):
+def run_one(out_npz: str, config: str, wav: str):
     env = dict(os.environ)
-    if exact:
+    if config == "exact":
         env["MAGPHASE_NOISE_RFFT"] = "f32"
         env["MAGPHASE_IRFFT"] = "two_stage"
         env["MAGPHASE_ANALYSIS_RFFT"] = "native"
+    elif config == "irfft_bf16":
+        env["MAGPHASE_IRFFT"] = "bf16"
+    elif config != "fast":
+        raise ValueError(config)
     code = f"""
 import sys, numpy as np
 sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
@@ -54,19 +58,23 @@ def main():
     import numpy as np
 
     wav = sys.argv[1] if len(sys.argv) > 1 else WAV
-    run_one("/tmp/dft_ab_fast.npz", False, wav)
-    run_one("/tmp/dft_ab_exact.npz", True, wav)
-    a = np.load("/tmp/dft_ab_fast.npz")
-    b = np.load("/tmp/dft_ab_exact.npz")
-    wa, wb, fs = a["w"], b["w"], int(a["fs"])
-    n = min(len(wa), len(wb))
-    dev = np.max(np.abs(wa[:n] - wb[:n]))
+    configs = (sys.argv[2].split(",") if len(sys.argv) > 2
+               else ["fast", "exact"])
+    for c in configs:
+        run_one(f"/tmp/dft_ab_{c}.npz", c, wav)
     from magphase_tpu.utils.eval import mel_spectral_distortion
-    msd = mel_spectral_distortion(wb[:n], wa[:n], fs)
-    print(json.dumps({"len_fast": int(len(wa)), "len_exact": int(len(wb)),
-                      "max_abs_dev": float(dev),
-                      "msd_db": float(msd),
-                      "peak": float(np.abs(wb).max())}))
+    ref_cfg = configs[-1]
+    b = np.load(f"/tmp/dft_ab_{ref_cfg}.npz")
+    wb, fs = b["w"], int(b["fs"])
+    out = {"ref": ref_cfg, "peak": float(np.abs(wb).max())}
+    for c in configs[:-1]:
+        a = np.load(f"/tmp/dft_ab_{c}.npz")
+        wa = a["w"]
+        n = min(len(wa), len(wb))
+        out[f"{c}_max_abs_dev"] = float(np.max(np.abs(wa[:n] - wb[:n])))
+        out[f"{c}_msd_db"] = float(mel_spectral_distortion(
+            wb[:n], wa[:n], fs))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -4,6 +4,7 @@
   two_stage_f32    matfft.irfft (production two-stage, 'highest')
   direct_high      matfft.irfft_direct precision='high' (3-pass bf16)
   direct_highest   matfft.irfft_direct precision='highest' (6-pass)
+  direct_bf16      matfft.irfft_direct precision='default' (1-pass bf16)
   native           XLA TPU irfft
 
 Reports max abs err of each vs native (float64 numpy reference not
@@ -41,12 +42,15 @@ def main():
             jax.lax.complex(a, b), n=n, precision="high"),
         "direct_highest": lambda a, b: matfft.irfft_direct(
             jax.lax.complex(a, b), n=n, precision="highest"),
+        "direct_bf16": lambda a, b: matfft.irfft_direct(
+            jax.lax.complex(a, b), n=n, precision="default"),
         "native": lambda a, b: jnp.fft.irfft(jax.lax.complex(a, b), n=n),
     }
 
     ref = jax.device_get(jax.jit(impls["native"])(re[:256], im[:256]))
     scale = np.max(np.abs(ref))
-    for name in ("two_stage_f32", "direct_high", "direct_highest"):
+    for name in ("two_stage_f32", "direct_high", "direct_highest",
+                 "direct_bf16"):
         z = jax.device_get(jax.jit(impls[name])(re[:256], im[:256]))
         print(f"{name:15s} max rel err vs native: "
               f"{np.max(np.abs(z - ref)) / scale:.2e}", flush=True)
