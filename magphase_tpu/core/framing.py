@@ -235,10 +235,28 @@ def ar_winlens(shifts: jnp.ndarray, nfrms: jnp.ndarray):
 def apply_anti_ringing(frames: jnp.ndarray, shifts: jnp.ndarray,
                        nfrms: jnp.ndarray) -> jnp.ndarray:
     """Per-frame centred raised-hanning anti-ringing window over a
-    two-pitch-period support (magphase.py:968-973)."""
+    two-pitch-period support (magphase.py:968-973).
+
+    Specialised (bitwise-identical) form of
+    ``W.centr_win_value(..., RAISED_HANNING, att=1.0, fill_bound=True)``:
+    at att=1.0 the profile is plain hanning, so the ``fill_bound`` value
+    h(t(q=0)) collapses to 0 for L>0 and 1 for L==0 — a per-frame (F, 1)
+    select — where the generic form re-evaluated the fill's whole
+    divide+cos chain at every (frame, sample) element (~2x the pass; the
+    equality is pinned in tests/test_pallas_framing.py)."""
     F, fft_len = frames.shape
     winlen_l, winlen_r = ar_winlens(shifts, nfrms)
+    Lw = winlen_l[:, None]
+    Rw = winlen_r[:, None]
+    Lf = Lw.astype(jnp.float32)
+    Rf = Rw.astype(jnp.float32)
     p = jnp.arange(fft_len)[None, :]
-    win = W.centr_win_value(p, winlen_l[:, None], winlen_r[:, None], fft_len,
-                            W.RAISED_HANNING, att=1.0, fill_bound=True)
-    return frames * win
+    q = p - (fft_len // 2 - Lw)
+    qf = jnp.clip(q, 0, Lw + Rw).astype(jnp.float32)
+    t_left = jnp.where(Lf > 0, qf / jnp.maximum(Lf, 1.0), 1.0)
+    t_right = jnp.where(Rf > 0, (Lf + Rf - qf) / jnp.maximum(Rf, 1.0), 1.0)
+    t = jnp.where(qf <= Lf, t_left, t_right)
+    w = 0.5 - 0.5 * jnp.cos(jnp.pi * t)
+    inside = (q >= 0) & (q <= Lw + Rw)
+    fill = jnp.where(Lf > 0.0, 0.0, 1.0)
+    return frames * jnp.where(inside, w, fill)

@@ -137,3 +137,29 @@ def test_ola_pallas_fused_anti_ringing_matches_two_pass():
                                 fft_len=N, out_len_pad=out_len + 4 * N,
                                 anti_ring=True))
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_apply_anti_ringing_matches_generic_centr_win():
+    """The specialised anti-ringing pass (per-frame fill scalar instead
+    of the generic per-element fill_bound re-evaluation) must be
+    BITWISE identical to the generic windows.centr_win_value form it
+    replaced (core/framing.py:apply_anti_ringing)."""
+    import jax.numpy as jnp
+    from magphase_tpu.core import framing, windows as W
+
+    rng = np.random.RandomState(5)
+    F, fft_len = 24, 256
+    frames = jnp.asarray(rng.randn(F, fft_len).astype(np.float32))
+    shifts = jnp.asarray(rng.randint(20, 90, F).astype(np.int32))
+    # include degenerate rows: zero shifts (padding) and tiny nfrms
+    shifts = shifts.at[-2:].set(0)
+    for nfrms in (F, F - 4, 1):
+        got = framing.apply_anti_ringing(frames, shifts,
+                                         jnp.int32(nfrms))
+        wl, wr = framing.ar_winlens(shifts, jnp.int32(nfrms))
+        win = W.centr_win_value(jnp.arange(fft_len)[None, :],
+                                wl[:, None], wr[:, None], fft_len,
+                                W.RAISED_HANNING, att=1.0,
+                                fill_bound=True)
+        np.testing.assert_array_equal(np.asarray(got),
+                                      np.asarray(frames * win))
