@@ -39,7 +39,10 @@ def _half_profile(t: jnp.ndarray, family: int, att: float = 1.0) -> jnp.ndarray:
     if family == HANNING:
         return 0.5 - 0.5 * jnp.cos(jnp.pi * t)
     if family == VOI_NOISE:
-        return jnp.power(jnp.clip(t, 0.0, 1.0), 2.5)
+        # t^2.5 as t*t*sqrt(t): jnp.power lowers to exp(2.5*log t) on
+        # the VPU — slower AND less accurate than the explicit form
+        tc = jnp.clip(t, 0.0, 1.0)
+        return tc * tc * jnp.sqrt(tc)
     if family == BOXCAR:
         return jnp.ones_like(t)
     if family == RAISED_HANNING:
