@@ -413,10 +413,15 @@ def synthesis_core_batch(m_mag, m_real, m_imag, v_voi, pm, shifts, nfrms,
 
     # --- periodic spectrum (920-941)
     if per_phase_type == "magphase":
-        m_ph = m_real + 1j * m_imag
-        m_ph_mag = jnp.abs(m_ph)
-        m_ph_mag = jnp.where(m_ph_mag == 0.0, 1.0, m_ph_mag)
-        m_per = m_mag * m_ph / m_ph_mag
+        # mag * (re + j im)/|re + j im| via rsqrt of the squared norm:
+        # complex abs lowers to an overflow-safe hypot and the complex-
+        # by-real divide to two divides — unneeded here (phasor
+        # components are O(1); zero magnitude yields 0 either way, as in
+        # the reference's guard-to-1 at magphase.py:926-929)
+        ph2 = m_real * m_real + m_imag * m_imag
+        scale = m_mag * jnp.where(ph2 > 0.0, jax.lax.rsqrt(
+            jnp.maximum(ph2, jnp.finfo(dtype).tiny)), 0.0)
+        m_per = jax.lax.complex(m_real * scale, m_imag * scale)
     elif per_phase_type == "linear":
         m_per = m_mag.astype(m_ap.dtype)
     elif per_phase_type == "min_phase":
