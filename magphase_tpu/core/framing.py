@@ -242,21 +242,18 @@ def apply_anti_ringing(frames: jnp.ndarray, shifts: jnp.ndarray,
     at att=1.0 the profile is plain hanning, so the ``fill_bound`` value
     h(t(q=0)) collapses to 0 for L>0 and 1 for L==0 — a per-frame (F, 1)
     select — where the generic form re-evaluated the fill's whole
-    divide+cos chain at every (frame, sample) element (~2x the pass; the
-    equality is pinned in tests/test_pallas_framing.py)."""
+    divide+cos chain at every (frame, sample) element.  The window value
+    itself stays on the shared ``W.asym_win_value`` helper so the
+    profile formulas live in one place (the equality is pinned in
+    tests/test_pallas_framing.py)."""
     F, fft_len = frames.shape
     winlen_l, winlen_r = ar_winlens(shifts, nfrms)
     Lw = winlen_l[:, None]
     Rw = winlen_r[:, None]
-    Lf = Lw.astype(jnp.float32)
-    Rf = Rw.astype(jnp.float32)
     p = jnp.arange(fft_len)[None, :]
     q = p - (fft_len // 2 - Lw)
-    qf = jnp.clip(q, 0, Lw + Rw).astype(jnp.float32)
-    t_left = jnp.where(Lf > 0, qf / jnp.maximum(Lf, 1.0), 1.0)
-    t_right = jnp.where(Rf > 0, (Lf + Rf - qf) / jnp.maximum(Rf, 1.0), 1.0)
-    t = jnp.where(qf <= Lf, t_left, t_right)
-    w = 0.5 - 0.5 * jnp.cos(jnp.pi * t)
+    w = W.asym_win_value(jnp.clip(q, 0, Lw + Rw), Lw, Rw,
+                         W.RAISED_HANNING, att=1.0)
     inside = (q >= 0) & (q <= Lw + Rw)
-    fill = jnp.where(Lf > 0.0, 0.0, 1.0)
+    fill = jnp.where(Lw > 0, 0.0, 1.0)
     return frames * jnp.where(inside, w, fill)

@@ -416,11 +416,14 @@ def synthesis_core_batch(m_mag, m_real, m_imag, v_voi, pm, shifts, nfrms,
         # mag * (re + j im)/|re + j im| via rsqrt of the squared norm:
         # complex abs lowers to an overflow-safe hypot and the complex-
         # by-real divide to two divides — unneeded here (phasor
-        # components are O(1); zero magnitude yields 0 either way, as in
-        # the reference's guard-to-1 at magphase.py:926-929)
+        # components are O(1)).  The ph2==0 branch keeps scale = m_mag,
+        # exactly the reference's guard-to-1 (magphase.py:926-929): the
+        # phasor is (0, 0) there so m_per is 0 either way, a NaN
+        # component still propagates through the final multiply, and a
+        # subnormal ph2 flushed to zero on TPU degrades the same way
+        # the flushed hypot did
         ph2 = m_real * m_real + m_imag * m_imag
-        scale = m_mag * jnp.where(ph2 > 0.0, jax.lax.rsqrt(
-            jnp.maximum(ph2, jnp.finfo(dtype).tiny)), 0.0)
+        scale = m_mag * jnp.where(ph2 > 0.0, jax.lax.rsqrt(ph2), 1.0)
         m_per = jax.lax.complex(m_real * scale, m_imag * scale)
     elif per_phase_type == "linear":
         m_per = m_mag.astype(m_ap.dtype)
@@ -488,15 +491,20 @@ def synthesis_core_batch(m_mag, m_real, m_imag, v_voi, pm, shifts, nfrms,
     # adoption bar was 0.26), so it stays an opt-in throughput-priority
     # serving knob, not the default (tools/dft_quality_ab.py
     # 'fast,irfft_bf16,exact')
-    irfft_env = os.environ.get("MAGPHASE_IRFFT")
+    irfft_env = os.environ.get("MAGPHASE_IRFFT", "")
     if irfft_env == "two_stage":
         m_frm = matfft.irfft(m_syn * alt, n=fft_len)
     elif irfft_env == "bf16":
         m_frm = matfft.irfft_direct(m_syn * alt, n=fft_len,
                                     precision="default")
-    else:
+    elif irfft_env in ("", "high"):
         m_frm = matfft.irfft_direct(m_syn * alt, n=fft_len,
                                     precision="high")
+    else:
+        # a typo'd knob silently measuring the default path would
+        # mislabel an A/B — fail loudly instead
+        raise ValueError(f"MAGPHASE_IRFFT={irfft_env!r}: expected "
+                         "'two_stage', 'bf16' or 'high'")
 
     # --- anti-ringing window (968-973).  Deliberately a SEPARATE batched
     # pass: fusing it into the Pallas OLA scatter (ola_centered_batch's

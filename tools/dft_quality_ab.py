@@ -25,6 +25,12 @@ WAV = "/root/reference/demos/data_48k/wavs_nat/hvd_591.wav"
 
 def run_one(out_npz: str, config: str, wav: str):
     env = dict(os.environ)
+    # clear ambient DFT knobs first: an exported MAGPHASE_IRFFT in the
+    # operator's shell would silently change what a labeled config
+    # measures (each config sets exactly what it means below)
+    for k in ("MAGPHASE_NOISE_RFFT", "MAGPHASE_IRFFT",
+              "MAGPHASE_ANALYSIS_RFFT"):
+        env.pop(k, None)
     if config == "exact":
         env["MAGPHASE_NOISE_RFFT"] = "f32"
         env["MAGPHASE_IRFFT"] = "two_stage"
