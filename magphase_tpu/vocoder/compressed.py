@@ -502,7 +502,9 @@ def synthesis_core_batch(m_mag, m_real, m_imag, v_voi, pm, shifts, nfrms,
                                     precision="high")
     else:
         # a typo'd knob silently measuring the default path would
-        # mislabel an A/B — fail loudly instead
+        # mislabel an A/B — fail loudly instead (trace-time check: a
+        # warm jit cache for the same geometry skips it, so fresh-
+        # process A/Bs — the documented protocol — always hit it)
         raise ValueError(f"MAGPHASE_IRFFT={irfft_env!r}: expected "
                          "'two_stage', 'bf16' or 'high'")
 
