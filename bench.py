@@ -80,6 +80,46 @@ def _load_signals():
             for w in sorted(glob.glob(os.path.join(WAV_DIR, "*.wav")))]
 
 
+def check_aux_bitcast_roundtrip():
+    """Hardware witness for the bitcast aux transport
+    (parallel/analysis_batch.py: lf0/shift ride the feature tensor as
+    bitcast u16 lanes): every one of the 65536 u16 bit patterns must
+    survive the device bitcast + concatenate + link download BIT-exactly.
+    The wire tensor must be UINT16: the first version of this witness
+    proved the f16 form is NOT transparent on this backend — all 2045
+    f16 NaN-payload patterns canonicalise to 0x7e00 in transit, and an
+    f32 lf0's low mantissa half forms one ~3% of the time (a silent
+    ~up-to-4% f0 corruption the CPU suite cannot see).  This runs on
+    the real chip before every timed bench."""
+    import jax
+    import jax.numpy as jnp
+
+    lo = np.arange(65536, dtype=np.uint32).reshape(64, 64, 16)
+    bits = (np.uint32(0x42340000) | lo).astype(np.uint32)  # finite f32s
+    src = bits.view(np.float32).reshape(64, 64, 16)
+    feats = np.linspace(-4.0, 4.0, 64 * 64 * 2, dtype=np.float32
+                        ).reshape(64, 64, 2)
+
+    @jax.jit
+    def pack(f, a):
+        # mirrors _analyze_compress_impl's f16 wire format: f16 feature
+        # bits and f32 aux bits side by side in one uint16 tensor
+        B, F, C = a.shape
+        f16 = jax.lax.bitcast_convert_type(f.astype(jnp.float16),
+                                           jnp.uint16)
+        a16 = jax.lax.bitcast_convert_type(a, jnp.uint16)
+        return jnp.concatenate([f16, a16.reshape(B, F, 2 * C)], axis=-1)
+
+    out = np.asarray(jax.device_get(pack(jnp.asarray(feats),
+                                         jnp.asarray(src))))
+    got = np.ascontiguousarray(out[:, :, 2:]).view(np.float32)
+    assert got.tobytes() == src.tobytes(), \
+        "u16 bitcast aux transport is not bit-transparent on this backend"
+    got_f = np.ascontiguousarray(out[:, :, :2]).view(np.float16)
+    assert np.abs(got_f.astype(np.float32) - feats).max() < 4e-3, \
+        "u16-wire f16 feature lanes decoded wrong"
+
+
 def check_correctness(signals):
     """Compiled-Pallas witness: lossless round trip + output sanity."""
     from magphase_tpu.parallel.copy_synthesis import copy_synthesis_batch
@@ -324,6 +364,7 @@ def _run_worker(mode: str, reps: int) -> float:
 
 
 def main():
+    check_aux_bitcast_roundtrip()
     check_correctness(_load_signals())
     # two E2E schedules, best-of: the threaded sync pipeline (wins under
     # link contention: sync transfers hold their rate) and the

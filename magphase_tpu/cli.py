@@ -57,7 +57,27 @@ def _host_partition(tokens, weights_fn=None):
         try:
             weights = weights_fn()
         except Exception:
-            weights = None          # unreadable sizes: fall back to RR
+            weights = None          # unreadable sizes here
+        # partition_tokens' disjoint-cover invariant requires EVERY host
+        # to compute the same assignment — if one host's stats failed
+        # (or returned different values) while another's succeeded, an
+        # independent per-host fallback would silently drop/duplicate
+        # utterances.  All hosts therefore agree on a weight digest
+        # first; any mismatch or local failure downgrades every host to
+        # round-robin together.
+        import zlib
+        import numpy as np
+        from jax.experimental import multihost_utils
+        if weights is None:
+            digest = np.array([0.0, -1.0, -1.0], np.float64)
+        else:
+            w = np.asarray(weights, np.float64)
+            digest = np.array([1.0, float(zlib.crc32(w.tobytes())),
+                               float(w.size)], np.float64)
+        all_d = np.asarray(multihost_utils.process_allgather(digest))
+        if not (np.all(all_d[:, 0] == 1.0)
+                and np.all(all_d == all_d[:1])):
+            weights = None
     return (partition_tokens(tokens, weights=weights),
             f".magphase_manifest.p{jax.process_index()}.json")
 

@@ -203,8 +203,12 @@ def _upload_signal_batch(host_arrays, mesh=None):
         jax.block_until_ready(sigs_d)
         return sigs_d, n_sigs_d, n_frames_d
     from ..utils.transfer import device_put_chunked
-    sigs_d = device_put_chunked(host_arrays[0])
+    # small operands FIRST: queued ahead of the chunked put they ride
+    # the stream for free, queued after it they each pay their own
+    # post-upload round trip (CLAUDE.md; same ordering as
+    # batch.py:_upload_synthesis_group)
     n_sigs_d, n_frames_d = (jnp.asarray(a) for a in host_arrays[1:])
+    sigs_d = device_put_chunked(host_arrays[0])
     jax.block_until_ready((n_sigs_d, n_frames_d))
     return sigs_d, n_sigs_d, n_frames_d
 
@@ -413,18 +417,22 @@ def _analyze_compress_impl(sigs, marks, flags, n_marks, n_sigs, *,
             # f16 transfer encoding for the (download-bound) host link:
             # the mel streams quantise to ~1e-3 relative — far below the
             # mel compression error — lf0 (MAGIC -1e10)/shift stay f32,
-            # BITCAST into four extra u16-as-f16 channels so the whole
-            # group leaves as ONE tensor (each extra device_get pays a
-            # full link round trip, and one big transfer moves ~2x the
-            # MB/s of several small ones)
+            # BITCAST into four extra u16 channels so the whole group
+            # leaves as ONE tensor (each extra device_get pays a full
+            # link round trip, and one big transfer moves ~2x the MB/s
+            # of several small ones).  The combined tensor crosses the
+            # link as UINT16, never float16: this backend canonicalises
+            # every f16 NaN payload to 0x7e00 in transit (measured —
+            # all 2045 NaN patterns; bench.py:check_aux_bitcast_roundtrip
+            # is the hardware witness), and an f32 lf0's low mantissa
+            # half forms such a pattern ~3% of the time — integer lanes
+            # are bit-transparent
             Bp, Fp, _ = feats.shape
-            feats = feats.astype(jnp.float16)
+            feats16 = jax.lax.bitcast_convert_type(
+                feats.astype(jnp.float16), jnp.uint16)
             aux16 = jax.lax.bitcast_convert_type(
                 aux.astype(jnp.float32), jnp.uint16).reshape(Bp, Fp, 4)
-            feats = jnp.concatenate(
-                [feats, jax.lax.bitcast_convert_type(aux16, jnp.float16)],
-                axis=-1)
-            return feats, n_valid
+            return jnp.concatenate([feats16, aux16], axis=-1), n_valid
         return feats, aux, n_valid
     if feats_f16:
         mml, mrm, mim = (x.astype(jnp.float16) for x in (mml, mrm, mim))
@@ -917,11 +925,14 @@ def analysis_compressed_batch_async(signals: list, fs: int,
                 feats = None
             elif len(p["out"]) == 2:      # f16, aux bitcast-packed
                 D = mag_dim + 2 * phase_dim
-                feats = np.asarray(jax.device_get(p["out"][0]))
-                # last 4 channels are the f32 (lf0, shift) pair bitcast
-                # into u16-as-f16 lanes; reinterpret the bytes back
+                packed = np.asarray(jax.device_get(p["out"][0]))
+                # u16 wire tensor: first D channels are the f16 mel
+                # streams' bits, last 4 the f32 (lf0, shift) pair —
+                # reinterpret the bytes back on the host
+                feats = np.ascontiguousarray(
+                    packed[:, :, :D]).view(np.float16)
                 aux = np.ascontiguousarray(
-                    feats[:, :, D:D + 4]).view(np.float32)
+                    packed[:, :, D:D + 4]).view(np.float32)
                 for b in range(n_real):
                     n = int(nm[b])
                     f = feats[b, :n, :D].astype(np.float64)

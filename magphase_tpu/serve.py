@@ -26,6 +26,7 @@ import json
 import os
 import socket
 import sys
+import time
 
 __all__ = ["serve_forever", "request"]
 
@@ -55,22 +56,38 @@ def serve_forever(sock_path: str, ready_cb=None) -> int:
         pass
     srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
     srv.bind(sock_path)
-    srv.listen(1)
+    # serving is sequential, but queued clients should WAIT (their turn
+    # on the warm process), not bounce off a full backlog with EAGAIN
+    srv.listen(16)
     if ready_cb is not None:
         ready_cb()
+    def _reply(conn, payload: bytes) -> None:
+        # a client that disconnected before reading (timeout, Ctrl-C,
+        # stray probe) must never kill the daemon — the reply is
+        # best-effort, the daemon's job is staying warm
+        try:
+            conn.sendall(payload)
+        except OSError:
+            pass
+
     try:
         while True:
             conn, _ = srv.accept()
             with conn:
                 try:
+                    # bound the request read: a half-open client that
+                    # never sends a newline must not wedge the (strictly
+                    # sequential) daemon forever
+                    conn.settimeout(30.0)
                     req = json.loads(_recv_line(conn).decode())
                 except Exception as e:
-                    conn.sendall(json.dumps(
+                    _reply(conn, json.dumps(
                         {"rc": 2, "error": f"bad request: {e}"})
                         .encode() + b"\n")
                     continue
+                conn.settimeout(None)
                 if req.get("shutdown"):
-                    conn.sendall(b'{"rc": 0, "error": null}\n')
+                    _reply(conn, b'{"rc": 0, "error": null}\n')
                     return 0
                 rc, err = 2, None
                 cwd0 = os.getcwd()
@@ -87,8 +104,8 @@ def serve_forever(sock_path: str, ready_cb=None) -> int:
                     err = f"{type(e).__name__}: {e}"
                 finally:
                     os.chdir(cwd0)
-                conn.sendall(json.dumps({"rc": rc, "error": err})
-                             .encode() + b"\n")
+                _reply(conn, json.dumps({"rc": rc, "error": err})
+                       .encode() + b"\n")
     finally:
         srv.close()
         try:
@@ -102,7 +119,18 @@ def request(sock_path: str, argv=None, shutdown: bool = False,
     """Forward one CLI invocation to a running daemon; returns its rc."""
     c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
     c.settimeout(timeout)
-    c.connect(sock_path)
+    # a momentarily-full accept backlog surfaces as EAGAIN on unix
+    # sockets (Python raises it immediately despite the timeout) —
+    # retry briefly instead of failing the request
+    deadline = time.monotonic() + min(timeout, 30.0)
+    while True:
+        try:
+            c.connect(sock_path)
+            break
+        except (BlockingIOError, InterruptedError):
+            if time.monotonic() >= deadline:
+                raise
+            time.sleep(0.05)
     with c:
         if shutdown:
             msg = {"shutdown": True}

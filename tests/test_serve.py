@@ -102,3 +102,20 @@ def test_serve_error_reporting(server, tmp_path):
 
 def test_server_flag_requires_socket_path():
     assert cli_main(["generate", "--server"]) == 2
+
+
+def test_serve_survives_client_disconnects(server, tmp_path):
+    """A client that disconnects before reading the reply (timeout,
+    Ctrl-C, stray probe) must not kill the daemon: replies are
+    best-effort (serve.py:_reply)."""
+    import socket
+
+    # garbage request + immediate close, reply never read
+    for payload in (b"not json\n", b'{"argv": ["not-a-command"]}\n'):
+        c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        c.connect(server)
+        c.sendall(payload)
+        c.close()
+    # daemon must still be serving normal requests
+    rc = request(server, ["not-a-command"], timeout=120)
+    assert rc != 0       # argparse error, but a live, well-formed reply

@@ -228,19 +228,30 @@ def measure_synthesis(batch: int = 128, transport: str = "int8",
     mag_dim_ph = pb.get_num_full_mel_coeffs_from_num_phase_coeffs(
         define_crossfade_params(FS)[0], 45, alpha, FS)
     fft_syn, max_b = pb._synthesis_geometry(utts, FS, fft_len, True, None)
-    host = pb._prepare_synthesis_group(
-        utts[:max_b], n_real=min(batch, max_b), keys=keys, mesh=None,
-        max_b=max_b, fs=FS, fft_syn=fft_syn, alpha=alpha,
-        alpha_phase=alpha, mag_dim=60, phase_dim=45,
-        mag_dim_ph=mag_dim_ph, b_voi_ap_win=True,
-        per_phase_type="magphase", b_out_hpf=True, pf_type="no",
-        transport=transport)
+    # exact per-group audio and bytes: a tail group smaller than max_b
+    # must not be counted at full-group size, or the bounds (and the
+    # e2e_vs_*_bound gating ratios) are inflated whenever
+    # batch % max_b != 0
+    audio_s_iter, up_bytes, host = 0.0, 0, None
+    for i in range(0, batch, max_b):
+        sl = utts[i:i + max_b]
+        h = pb._prepare_synthesis_group(
+            sl, n_real=len(sl), keys=keys[i:i + max_b], mesh=None,
+            max_b=max_b, fs=FS, fft_syn=fft_syn, alpha=alpha,
+            alpha_phase=alpha, mag_dim=60, phase_dim=45,
+            mag_dim_ph=mag_dim_ph, b_voi_ap_win=True,
+            per_phase_type="magphase", b_out_hpf=True, pf_type="no",
+            transport=transport)
+        host = host or h              # first (full) group: rate probe
+        audio_s_iter += sum(h["out_lens"][:h["n_real"]]) / FS
+        up_bytes += sum(a.nbytes for a in (
+            list(h["args"]) + [h["keys"]]
+            + [e for e in h["extra"] if e is not None]))
     groups = -(-batch // max_b)
-    audio_s_iter = groups * sum(host["out_lens"][:host["n_real"]]) / FS
 
     up_arrays = list(host["args"]) + [host["keys"]] + [
         e for e in host["extra"] if e is not None]
-    up_bytes = groups * sum(a.nbytes for a in up_arrays)
+    grp_bytes = sum(a.nbytes for a in up_arrays)
 
     dev = jax.devices()[0]
     probe = jax.device_put(np.zeros(1, np.float32), dev)
@@ -254,7 +265,8 @@ def measure_synthesis(batch: int = 128, transport: str = "int8",
             jax.block_until_ready(bufs)
             best = min(best, time.perf_counter() - t0)
             del bufs
-        return best * groups
+        # measured on one full group; total = exact bytes at that rate
+        return best * (up_bytes / grp_bytes)
 
     # --- pure device time per batch (scan-loop, contention-immune)
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
